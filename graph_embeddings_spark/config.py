@@ -1,0 +1,164 @@
+"""Pipeline configuration — a faithful Python mirror of the reference's YAML schema.
+
+Reference: util/config/Configuration.java:17-501 (field-for-field), loaded via
+SnakeYAML in util/read/ConfigReader.java:15-21. We load the identical YAML shape
+with yaml.safe_load into frozen dataclasses and validate like Configuration.check
+(Configuration.java:478-494).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Node type tags — NodeInfo.java:8-34 encoding.
+URI, BLANK, LITERAL, PREDICATE = 0, 1, 2, 3
+
+GLOVE, PGLOVE = "glove", "pglove"
+ADAGRAD, ADAM, AMSGRAD = "adagrad", "adam", "amsgrad"
+NORM_NONE, NORM_UNITY, NORM_COUNTS = "none", "unity", "counts"
+
+
+@dataclass(frozen=True)
+class SimilarityGroup:
+    """One similarity-matching group — Configuration.java:182-318.
+
+    source/target are predicate URIs whose literal objects get compared with
+    `method`; pairs scoring >= threshold become bidirectional type-0 edges.
+    """
+
+    source_predicate: str
+    target_predicate: str
+    method: str = "token_jaccard"  # Configuration.java:27-29 enum
+    threshold: float = 0.5
+    ngram: int = 3  # Configuration.java:307-309 default
+    threshold_distance: float = 0.0  # 'distance' for numeric/date
+    smooth: float = 0.5  # 'alpha'/'smooth' exponent parameter
+    pattern: str = "iso"  # date pattern; 'iso' -> BASIC_ISO_DATE (Date.java:24)
+    time: str = "bidirectional"  # bidirectional | backwards | forwards (Date.java:52-59)
+
+
+@dataclass(frozen=True)
+class BcaConfig:
+    """Configuration.java:320-363."""
+
+    alpha: float = 1e-1
+    epsilon: float = 1e-3
+    directed: bool = False
+    normalize: str = NORM_NONE  # none | unity | counts
+
+
+@dataclass(frozen=True)
+class OptConfig:
+    """Configuration.java:365-398."""
+
+    method: str = ADAGRAD
+    tolerance: float = 1e-5
+    maxiter: int = 50
+
+
+@dataclass(frozen=True)
+class OutputConfig:
+    """Output filters — Configuration.java:413-476; applied in
+    util/write/EmbeddingTextWriter.java:34-37,100-131."""
+
+    name: str = "embedding"
+    uri: list[str] | None = None  # prefix filters; None group disabled, [] = all
+    blank: list[str] | None = None
+    literal: list[str] | None = None
+    predicate: list[str] | None = None
+
+    def enabled_types(self) -> list[int]:
+        out = []
+        if self.uri is not None:
+            out.append(URI)
+        if self.blank is not None:
+            out.append(BLANK)
+        if self.literal is not None:
+            out.append(LITERAL)
+        if self.predicate is not None:
+            out.append(PREDICATE)
+        return out
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level config — Configuration.java:17-501."""
+
+    graph: str = ""
+    method: str = GLOVE  # glove | pglove (Configuration.java:19-21)
+    dim: int = 32
+    threads: int = 8
+    seed: int = 42  # reference defaults to wall-clock (Configuration.java:157-159); we fix it
+    weights: dict[str, float] = field(default_factory=dict)
+    similarity: list[SimilarityGroup] = field(default_factory=list)
+    bca: BcaConfig = field(default_factory=BcaConfig)
+    opt: OptConfig = field(default_factory=OptConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+
+    def check(self) -> None:
+        """Configuration.check — Configuration.java:478-494."""
+        if self.dim <= 0:
+            raise ValueError("dim must be positive")
+        if self.method not in (GLOVE, PGLOVE):
+            raise ValueError(f"unknown method {self.method}")
+        if self.bca.alpha <= 0 or self.bca.epsilon <= 0:
+            raise ValueError("bca alpha/epsilon must be positive")
+        if self.opt.method not in (ADAGRAD, ADAM, AMSGRAD):
+            raise ValueError(f"unknown optimizer {self.opt.method}")
+        if not self.output.enabled_types():
+            raise ValueError("at least one output group must be enabled")
+
+
+def load_config(path: str) -> PipelineConfig:
+    """YAML -> PipelineConfig (ConfigReader.java:15-21 analog)."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    sim = [
+        SimilarityGroup(
+            source_predicate=g["sourcePredicate"],
+            target_predicate=g.get("targetPredicate", g["sourcePredicate"]),
+            method=g.get("method", "token_jaccard").lower().replace("-", "_"),
+            threshold=float(g.get("threshold", 0.5)),
+            ngram=int(g.get("ngram", 3)),
+            threshold_distance=float(g.get("distance", 0.0)),
+            smooth=float(g.get("smooth", g.get("alpha", 0.5))),
+            pattern=g.get("pattern", "iso"),
+            time=g.get("time", "bidirectional").lower(),
+        )
+        for g in raw.get("similarity", []) or []
+    ]
+    bca_raw = raw.get("bca", {}) or {}
+    opt_raw = raw.get("opt", {}) or {}
+    out_raw = raw.get("output", {}) or {}
+    cfg = PipelineConfig(
+        graph=raw.get("graph", ""),
+        method=(raw.get("method", GLOVE) or GLOVE).lower(),
+        dim=int(raw.get("dim", 32)),
+        threads=int(raw.get("threads", 8)),
+        seed=int(raw.get("seed", 42)),
+        weights={str(k): float(v) for k, v in (raw.get("weights", {}) or {}).items()},
+        similarity=sim,
+        bca=BcaConfig(
+            alpha=float(bca_raw.get("alpha", 1e-1)),
+            epsilon=float(bca_raw.get("epsilon", 1e-3)),
+            directed=bool(bca_raw.get("directed", False)),
+            normalize=(bca_raw.get("normalize", NORM_NONE) or NORM_NONE).lower(),
+        ),
+        opt=OptConfig(
+            method=(opt_raw.get("method", ADAGRAD) or ADAGRAD).lower(),
+            tolerance=float(opt_raw.get("tolerance", 1e-5)),
+            maxiter=int(opt_raw.get("maxiter", 50)),
+        ),
+        output=OutputConfig(
+            name=out_raw.get("name", "embedding"),
+            uri=out_raw.get("uri"),
+            blank=out_raw.get("blank"),
+            literal=out_raw.get("literal"),
+            predicate=out_raw.get("predicate"),
+        ),
+    )
+    cfg.check()
+    return cfg

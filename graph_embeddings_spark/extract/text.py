@@ -1,0 +1,75 @@
+"""Deterministic HTML -> text extraction (trafilatura-equivalent contract).
+
+New surface required by the graft (the reference pipeline starts at RDF —
+JenaReader.java:21-42); the binding contract is BASELINE.json input_hint:
+*byte-identical extracted text per url*, which only a fully deterministic
+pure function can guarantee. Rules:
+
+  1. decode UTF-8 strictly; undecodable bytes -> ''  (malformed pages);
+  2. drop <script> <style> <nav> <header) <aside> <footer> <title> blocks;
+  3. keep <h1>..</h1> and <p>..</p> block contents in document order;
+  4. strip residual inline tags, HTML-unescape, strip() each block,
+     drop empties;
+  5. join blocks with '\n'.
+
+Runs as an Arrow-batched pandas UDF (no per-row Python at the Spark layer) —
+the hot loop is a compiled-regex scan per document, the idiom the reference's
+single-threaded Jena parse maps to at 10^12-document scale.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_DROP_BLOCKS = re.compile(
+    r"<(script|style|nav|header|aside|footer|title)\b[^>]*>.*?</\1>",
+    re.IGNORECASE | re.DOTALL,
+)
+_KEEP_BLOCKS = re.compile(r"<(h1|p)\b[^>]*>(.*?)</\1>", re.IGNORECASE | re.DOTALL)
+_INLINE_TAGS = re.compile(r"<[^>]+>")
+
+
+def extract_text(html_bytes) -> str:
+    """Pure function; the unit of the byte-parity golden test."""
+    if html_bytes is None:
+        return ""
+    try:
+        doc = bytes(html_bytes).decode("utf-8", errors="strict")
+    except (UnicodeDecodeError, TypeError):
+        return ""
+    doc = _DROP_BLOCKS.sub("", doc)
+    blocks = []
+    for _tag, content in _KEEP_BLOCKS.findall(doc):
+        content = _INLINE_TAGS.sub("", content)
+        content = _html.unescape(content).strip()
+        if content:
+            blocks.append(content)
+    return "\n".join(blocks)
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text)
+
+
+def with_extracted_text(pages_df, html_col: str = "html", out_col: str = "extracted_text"):
+    """pages(url, warc_ts, html, ...) -> + out_col string."""
+    return pages_df.withColumn(out_col, extract_text_udf(F.col(html_col)))
+
+
+def latest_pages(pages_df):
+    """Keep the newest warc_ts row per url (FIXTURES.md §1 'latest wins').
+
+    max_by avoids a window sort; ties broken deterministically by html bytes
+    via the struct ordering on (warc_ts, html).
+    """
+    return (
+        pages_df.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", "html", "text", "lang")).alias("m"))
+        .select("url", "m.warc_ts", "m.html", "m.text", "m.lang")
+    )

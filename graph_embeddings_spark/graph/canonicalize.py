@@ -1,0 +1,126 @@
+"""Similarity matching / canonicalization (J1/J2, SURVEY.md §2.3).
+
+The reference compares every (source-predicate literal, target-predicate
+literal) pair with a string metric and adds bidirectional weight=sim,
+type-0 edges for pairs >= threshold (CompareJob.java:11-54,
+Rdf2GrphConverter.java:127-186). That all-pairs compare is O(n²); here it is
+re-architected (sanctioned by north_star) as:
+
+    candidates:   MinHash-LSH banded self/cross join over char-shingles
+                  (token/ngram/string metrics), or value-bucket banding
+                  (numeric/date metrics) — JVM-side, skew-guarded;
+    exact score:  Arrow-batched pandas UDF running the reference-exact
+                  scalar metric (functions/similarity.py);
+    accept:       sim >= threshold; upper-triangle only when source==target
+                  predicate (CompareJob.java:28,37-40: self pairs skipped).
+
+Output pairs(a, b, sim) feed graph.materialize.similarity_edges (J2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import DoubleType
+
+from ..config import LITERAL, SimilarityGroup
+from ..functions.lsh import char_shingles_col, lsh_candidate_pairs, rare_shingle_pairs
+from ..functions.similarity import make_metric
+
+_STRING_METRICS = {
+    "jarowinkler", "levenshtein", "token_jaccard", "token_cosine",
+    "ngram_jaccard", "ngram_cosine",
+}
+
+
+def _exact_rescore(pairs_labeled: DataFrame, group: SimilarityGroup) -> DataFrame:
+    metric = make_metric(
+        group.method,
+        ngram=group.ngram,
+        smooth=group.smooth,
+        distance=group.threshold_distance,
+        pattern=group.pattern,
+        time=group.time,
+    )
+
+    @F.pandas_udf(DoubleType())
+    def score(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([metric(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    return pairs_labeled.withColumn("sim", score(F.col("label_a"), F.col("label_b")))
+
+
+def _numeric_buckets(df: DataFrame, group: SimilarityGroup) -> DataFrame:
+    """Bucket-band blocking for numeric/date groups: candidates are pairs in
+    the same or adjacent value bucket, where the bucket width is the maximum
+    span the threshold can accept:  sim >= θ  ⇔  ||a-b|-dist| <= θ^(1/(s-1))-1."""
+    radius = max(1.0, group.threshold ** (1.0 / (group.smooth - 1.0)) - 1.0 + group.threshold_distance)
+    if group.method.startswith("date_"):
+        unit_days = {"date_days": 1.0, "date_months": 31.0, "date_years": 366.0}[group.method]
+        radius *= unit_days
+        fmt = "yyyyMMdd" if group.pattern == "iso" else group.pattern
+        val = F.unix_date(F.to_date(F.split(F.col("label"), r"\^").getItem(0), fmt))
+    else:
+        val = F.split(F.col("label"), r"\^").getItem(0).cast("long")
+    width = int(radius) + 1
+    with_b = df.withColumn("_v", val).filter(F.col("_v").isNotNull()).withColumn(
+        "_bucket", F.floor(F.col("_v") / width)
+    )
+    off = with_b.select(
+        F.col("id"), F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)) + F.col("_bucket")).alias("_b")
+    )
+    a = off.select(F.col("id").alias("a"), "_b")
+    b = with_b.select(F.col("id").alias("b"), F.col("_bucket").alias("_b"))
+    return a.join(b, "_b").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def similarity_pairs(nodes: DataFrame, group: SimilarityGroup) -> DataFrame:
+    """nodes(node_id, label, node_type, pred_ctx) -> pairs(a, b, sim>=θ).
+
+    Cross-predicate groups (source != target) compare source literals against
+    target literals (both directions of the pair recorded once, a<b on the
+    union id space — matching the reference's no-upper-triangle mode,
+    Rdf2GrphConverter.java:50).
+    """
+    lits = nodes.filter(F.col("node_type") == LITERAL)
+    same = group.source_predicate == group.target_predicate
+    src = lits.filter(F.col("pred_ctx") == group.source_predicate)
+    tgt = lits.filter(F.col("pred_ctx") == group.target_predicate)
+    pool = src if same else src.unionByName(tgt).distinct()
+    pool = pool.select(F.col("node_id").alias("id"), "label", "pred_ctx")
+
+    if group.method in _STRING_METRICS:
+        k = group.ngram if group.method.startswith("ngram") else 3
+        shingles = char_shingles_col(F.col("label"), k)
+        if group.method in ("jarowinkler", "levenshtein"):
+            cands = rare_shingle_pairs(pool.withColumn("_sh", shingles), "id", F.col("_sh"))
+        else:
+            cands = lsh_candidate_pairs(pool.withColumn("_sh", shingles), "id", F.col("_sh"))
+    else:
+        cands = _numeric_buckets(pool, group)
+
+    if not same:
+        # keep only cross-predicate pairs
+        side = pool.select("id", "pred_ctx")
+        cands = (
+            cands.join(side.withColumnRenamed("id", "a").withColumnRenamed("pred_ctx", "pa"), "a")
+            .join(side.withColumnRenamed("id", "b").withColumnRenamed("pred_ctx", "pb"), "b")
+            .filter(F.col("pa") != F.col("pb"))
+            .select("a", "b")
+        )
+
+    labels = pool.select("id", "label")
+    labeled = (
+        cands.join(labels.select(F.col("id").alias("a"), F.col("label").alias("label_a")), "a")
+        .join(labels.select(F.col("id").alias("b"), F.col("label").alias("label_b")), "b")
+    )
+    scored = _exact_rescore(labeled, group)
+    return scored.filter(F.col("sim") >= group.threshold).select("a", "b", "sim")
+
+
+def all_similarity_pairs(nodes: DataFrame, groups: list[SimilarityGroup]) -> DataFrame | None:
+    out = None
+    for g in groups:
+        p = similarity_pairs(nodes, g)
+        out = p if out is None else out.unionByName(p)
+    return out
