@@ -1,0 +1,278 @@
+"""Distributed GloVe training: sharded kernels + per-epoch parameter averaging.
+
+The reference trains hogwild: numThreads jobs race on shared float arrays
+(opt/Optimizer.java:77-94, no locks in opt/grad/Adagrad.java:43-97). Spark
+executors share no memory, so (per BASELINE.json north_star) each epoch:
+
+  1. T1 epoch shuffle — every cooc entry is assigned a shard by
+     pmod(xxhash64(i, j, seed+epoch), n_shards): a deterministic re-
+     permutation per epoch, replacing Permutation.java:5-24's Fisher-Yates.
+  2. param co-partition — each shard pulls exactly the param rows it
+     touches (explode i/j -> distinct -> join params). This is the only
+     param movement: O(Σ|touched|), not O(vocab × shards).
+  3. shard kernel — cogroup(cooc_shard, param_rows).applyInPandas runs the
+     exact reference update math vectorized (kernel.train_shard), emitting
+     updated param rows + a per-shard partial cost.
+  4. parameter averaging — groupBy(node_id): elementwise avg of the shard
+     copies via JVM-side aggregate/zip_with (no Python), untouched nodes
+     carried through with a left join + coalesce.
+  5. cost reduction + tolerance check in the driver (Optimizer.java:85-107);
+     params checkpointed per epoch -> any run resumes mid-training
+     (north_rule).
+
+Scale notes: params never pass through the driver; the averaging is one
+shuffle on node_id; the cogroup is one shuffle on shard. n_shards should be
+sized so a shard's touched params fit executor memory (#entries*dim*~40B).
+Skewed hub nodes appear in many shards — they are averaged over more
+copies, which is exactly the variance damping wanted; the join itself is
+AQE-skew-handled.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .kernel import init_params, init_state, state_size, train_shard
+
+PARAMS_SCHEMA = (
+    "node_id long, focus array<float>, context array<float>, "
+    "f_bias double, c_bias double, state array<float>"
+)
+_OUT_SCHEMA = PARAMS_SCHEMA + ", cost double"
+
+
+def init_params_df(nodes: DataFrame, dim: int, seed: int, method: str) -> DataFrame:
+    """Deterministic param init per node (kernel.init_params; replaces
+    Optimizer.java:50-57's wall-clock-seeded init)."""
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["node_id"].to_numpy()
+            focus, context, fb, cb = init_params(ids, dim, seed)
+            st = init_state(method, dim, len(ids))
+            yield pd.DataFrame(
+                {
+                    "node_id": ids,
+                    "focus": list(focus),
+                    "context": list(context),
+                    "f_bias": fb.astype("float64"),
+                    "c_bias": cb.astype("float64"),
+                    "state": list(st),
+                }
+            )
+
+    return nodes.select("node_id").mapInPandas(gen, PARAMS_SCHEMA)
+
+
+def _avg_arrays(col: str, n: str = "_n"):
+    """Elementwise mean of collected float arrays — pure JVM (aggregate +
+    zip_with), no Python in the averaging reduce."""
+    lst = F.collect_list(col)
+    summed = F.aggregate(
+        lst,
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<double>")).otherwise(
+            F.zip_with(acc, x.cast("array<double>"), lambda a, b: a + b)
+        ),
+    )
+    return F.transform(summed, lambda v: (v / F.col(n)).cast("float"))
+
+
+def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: int, batch: int):
+    def train_fn(_key, cooc_iter_df: pd.DataFrame, params_pdf: pd.DataFrame) -> pd.DataFrame:
+        cooc_pdf = cooc_iter_df
+        if len(cooc_pdf) == 0 or len(params_pdf) == 0:
+            return pd.DataFrame(
+                columns=["node_id", "focus", "context", "f_bias", "c_bias", "state", "cost"]
+            )
+        node_ids = params_pdf["node_id"].to_numpy()
+        local = {int(n): k for k, n in enumerate(node_ids)}
+        focus = np.stack(params_pdf["focus"].to_numpy()).astype(np.float32)
+        context = np.stack(params_pdf["context"].to_numpy()).astype(np.float32)
+        f_bias = params_pdf["f_bias"].to_numpy().astype(np.float32)
+        c_bias = params_pdf["c_bias"].to_numpy().astype(np.float32)
+        state = np.stack(params_pdf["state"].to_numpy()).astype(np.float32)
+
+        # deterministic within-shard order (the shard's slice of the epoch
+        # permutation): sort by the precomputed shuffle key
+        cooc_pdf = cooc_pdf.sort_values("_ord", kind="mergesort")
+        iu = cooc_pdf["i"].map(local).to_numpy(dtype=np.int64)
+        jv = cooc_pdf["j"].map(local).to_numpy(dtype=np.int64)
+        x = cooc_pdf["x"].to_numpy(dtype=np.float64)
+
+        shard_cost = train_shard(
+            iu, jv, x, focus, context, f_bias, c_bias, state,
+            method=method, cost=cost, max_x=max_x, iteration=iteration, batch=batch,
+        )
+        out = pd.DataFrame(
+            {
+                "node_id": node_ids,
+                "focus": list(focus),
+                "context": list(context),
+                "f_bias": f_bias.astype("float64"),
+                "c_bias": c_bias.astype("float64"),
+                "state": list(state),
+                "cost": np.float64(0.0),
+            }
+        )
+        cost_row = pd.DataFrame(
+            {
+                "node_id": [-1],
+                "focus": [np.zeros(0, dtype=np.float32)],
+                "context": [np.zeros(0, dtype=np.float32)],
+                "f_bias": [0.0],
+                "c_bias": [0.0],
+                "state": [np.zeros(0, dtype=np.float32)],
+                "cost": [float(shard_cost)],
+            }
+        )
+        return pd.concat([out, cost_row], ignore_index=True)
+
+    return train_fn
+
+
+def train_epoch(
+    cooc: DataFrame,
+    params: DataFrame,
+    *,
+    dim: int,
+    method: str,
+    cost: str,
+    max_x: float,
+    iteration: int,
+    seed: int,
+    n_shards: int,
+    batch: int = 4096,
+) -> tuple[DataFrame, float]:
+    """One epoch -> (new params DF, summed cost). Lazy until the cost agg."""
+    shard_key = F.pmod(F.xxhash64("i", "j", F.lit(seed + iteration)), F.lit(n_shards))
+    sharded = cooc.select(
+        "i", "j", "x",
+        shard_key.alias("shard"),
+        F.xxhash64("j", "i", F.lit(seed * 31 + iteration)).alias("_ord"),
+    )
+    touched = (
+        sharded.select("shard", F.explode(F.array("i", "j")).alias("node_id")).distinct()
+    )
+    shard_params = touched.join(params, "node_id").select(
+        "shard", "node_id", "focus", "context", "f_bias", "c_bias", "state"
+    )
+    train_fn = _make_train_fn(dim, method, cost, max_x, iteration, batch)
+    out = (
+        sharded.groupBy("shard")
+        .cogroup(shard_params.groupBy("shard"))
+        .applyInPandas(train_fn, _OUT_SCHEMA)
+        .persist()
+    )
+    total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
+
+    updated = (
+        out.filter(F.col("node_id") >= 0)
+        .groupBy("node_id")
+        .agg(
+            F.count("*").alias("_n"),
+            _avg_arrays("focus").alias("focus"),
+            _avg_arrays("context").alias("context"),
+            (F.sum("f_bias") / F.count("*")).alias("f_bias"),
+            (F.sum("c_bias") / F.count("*")).alias("c_bias"),
+            _avg_arrays("state").alias("state"),
+        )
+        .drop("_n")
+    )
+    new_params = (
+        params.alias("p")
+        .join(updated.alias("u"), "node_id", "left")
+        .select(
+            "node_id",
+            *[
+                F.coalesce(F.col(f"u.{c}"), F.col(f"p.{c}")).alias(c)
+                for c in ("focus", "context", "f_bias", "c_bias", "state")
+            ],
+        )
+    )
+    return new_params, float(total_cost)
+
+
+@dataclass
+class TrainResult:
+    """Optimum analog (opt/Optimum.java:9-41): final params + cost history."""
+
+    params: DataFrame
+    cost_history: list[float] = field(default_factory=list)
+    final_cost: float = 0.0
+    epochs_run: int = 0
+
+
+def optimize(
+    cooc: DataFrame,
+    nodes: DataFrame,
+    *,
+    dim: int,
+    co_count: int,
+    max_x: float,
+    cost: str = "glove",
+    method: str = "adagrad",
+    maxiter: int = 50,
+    tolerance: float = 1e-5,
+    seed: int = 42,
+    n_shards: int | None = None,
+    batch: int = 4096,
+    checkpoint_dir: str | None = None,
+    start_params: DataFrame | None = None,
+    start_epoch: int = 0,
+) -> TrainResult:
+    """Epoch loop (Optimizer.java:67-120 analog): shuffle -> shard-train ->
+    average -> cost/tolerance check. Pass checkpoint_dir to write params per
+    epoch (parquet) — `resume_params` reloads them for mid-run resume."""
+    spark = cooc.sparkSession
+    if n_shards is None:
+        n_shards = max(4, spark.sparkContext.defaultParallelism)
+    params = start_params if start_params is not None else init_params_df(nodes, dim, seed, method)
+    params = params.persist()
+    params.count()  # materialize init once
+
+    history: list[float] = []
+    prev_cost = 0.0
+    final_cost = 0.0
+    epochs = 0
+    for it in range(start_epoch, maxiter):
+        new_params, total_cost = train_epoch(
+            cooc, params, dim=dim, method=method, cost=cost, max_x=max_x,
+            iteration=it, seed=seed, n_shards=n_shards, batch=batch,
+        )
+        # truncate lineage each epoch; optionally durable checkpoint
+        if checkpoint_dir is not None:
+            path = f"{checkpoint_dir}/params_epoch={it:04d}"
+            new_params.write.mode("overwrite").parquet(path)
+            new_params = spark.read.parquet(path)
+        else:
+            new_params = new_params.localCheckpoint(eager=True)
+        params.unpersist()
+        params = new_params.persist()
+
+        epoch_cost = total_cost / max(co_count, 1)
+        history.append(epoch_cost)
+        epochs = it + 1
+        iter_diff = abs(prev_cost - epoch_cost)
+        prev_cost = epoch_cost
+        if iter_diff <= tolerance:
+            final_cost = epoch_cost
+            break
+    return TrainResult(params=params, cost_history=history, final_cost=final_cost, epochs_run=epochs)
+
+
+def resume_params(spark, checkpoint_dir: str, epoch: int) -> DataFrame:
+    return spark.read.parquet(f"{checkpoint_dir}/params_epoch={epoch:04d}")
+
+
+def extract_embeddings(params: DataFrame) -> DataFrame:
+    """final vec = (focus + context) / 2 (Optimizer.java:129-140) — JVM-side
+    zip_with, no Python."""
+    return params.select(
+        "node_id",
+        F.zip_with("focus", "context", lambda f, c: (f + c) / 2.0).alias("vec"),
+    )

@@ -1,0 +1,231 @@
+"""GloVe training: kernel math vs hand-computed reference updates, cost
+decrease, deterministic init, averaging semantics."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_embeddings_spark.glove.kernel import (
+    init_params,
+    init_state,
+    inner_and_weight,
+    train_shard,
+)
+from graph_embeddings_spark.glove.train import (
+    extract_embeddings,
+    init_params_df,
+    optimize,
+    train_epoch,
+)
+
+
+# ---------------------------------------------------------------------------
+# Kernel math (reference-exact at batch=1)
+# ---------------------------------------------------------------------------
+
+def test_glove_cost_values():
+    """GloveCost.java:7-20: inner = dot + bf + bc - log(X); w = (X/max)^.75
+    capped to 1 above max."""
+    dots = np.array([0.5])
+    inner, w = inner_and_weight("glove", np.array([2.0]), dots, np.array([0.1]), np.array([0.2]), max_x=8.0)
+    assert inner[0] == pytest.approx(0.5 + 0.1 + 0.2 - math.log(2.0))
+    assert w[0] == pytest.approx((2.0 / 8.0) ** 0.75)
+    _, w2 = inner_and_weight("glove", np.array([10.0]), dots, np.array([0.0]), np.array([0.0]), max_x=8.0)
+    assert w2[0] == 1.0
+
+
+def test_pglove_cost_values():
+    """PGloveCost.java:7-21: logit link, weight = Xij."""
+    inner, w = inner_and_weight("pglove", np.array([0.25]), np.array([0.0]), np.array([0.0]), np.array([0.0]), max_x=1.0)
+    assert inner[0] == pytest.approx(-math.log(0.25 / 0.75))
+    assert w[0] == 0.25
+
+
+def test_adagrad_single_step_hand_computed():
+    """One entry, one step, G init = 1 (Adagrad.java:28-33): update is
+    param -= lr * grad (vectors) and bias -= weightedCost WITHOUT lr
+    (Adagrad.java:88-89)."""
+    dim = 2
+    focus = np.array([[0.1, 0.2]], dtype=np.float32)
+    context = np.array([[0.3, -0.1]], dtype=np.float32)
+    fb = np.array([0.05], dtype=np.float32)
+    cb = np.array([-0.02], dtype=np.float32)
+    state = init_state("adagrad", dim, 1)
+    x = 2.0
+    max_x = 4.0
+
+    dot = 0.1 * 0.3 + 0.2 * -0.1
+    inner = dot + 0.05 - 0.02 - math.log(x)
+    w = (x / max_x) ** 0.75
+    wc = w * inner
+    exp_focus = np.array([0.1, 0.2]) - 0.05 * wc * np.array([0.3, -0.1])
+    exp_context = np.array([0.3, -0.1]) - 0.05 * wc * np.array([0.1, 0.2])
+    exp_fb = 0.05 - wc  # NO learning rate on the bias step
+    exp_cb = -0.02 - wc
+
+    cost = train_shard(
+        np.array([0]), np.array([0]), np.array([x]),
+        focus, context, fb, cb, state,
+        method="adagrad", cost="glove", max_x=max_x, iteration=0, batch=1,
+    )
+    assert cost == pytest.approx(0.5 * w * inner * inner, rel=1e-5)
+    assert focus[0] == pytest.approx(exp_focus, rel=1e-5)
+    assert context[0] == pytest.approx(exp_context, rel=1e-5)
+    assert fb[0] == pytest.approx(exp_fb, rel=1e-5)
+    assert cb[0] == pytest.approx(exp_cb, rel=1e-5)
+    # squared grads accumulated: G = 1 + grad^2
+    assert state[0, 0] == pytest.approx(1 + (wc * 0.3) ** 2, rel=1e-5)
+    assert state[0, 2 * dim] == pytest.approx(1 + wc * wc, rel=1e-5)
+
+
+def test_adam_single_step_hand_computed():
+    """Adam.java:84,113-124: correction-folded step, beta1=.9 beta2=.999."""
+    dim = 1
+    focus = np.array([[0.2]], dtype=np.float32)
+    context = np.array([[0.4]], dtype=np.float32)
+    fb = np.zeros(1, dtype=np.float32)
+    cb = np.zeros(1, dtype=np.float32)
+    state = init_state("adam", dim, 1)
+    x, max_x = 1.0, 2.0
+    inner = 0.2 * 0.4 - math.log(x)
+    w = (x / max_x) ** 0.75
+    wc = w * inner
+    g = wc * 0.4  # focus grad
+    m1 = 0.1 * g
+    v1 = 0.001 * g * g
+    corr = 0.05 * math.sqrt(1 - 0.999) / (1 - 0.9)
+    exp_focus = 0.2 - corr * m1 / (math.sqrt(v1) + 1e-7)
+
+    train_shard(
+        np.array([0]), np.array([0]), np.array([x]),
+        focus, context, fb, cb, state,
+        method="adam", cost="glove", max_x=max_x, iteration=0, batch=1,
+    )
+    assert focus[0, 0] == pytest.approx(exp_focus, rel=1e-4)
+
+
+def test_amsgrad_uses_max_moment():
+    dim = 1
+    focus = np.array([[0.2]], dtype=np.float32)
+    context = np.array([[0.4]], dtype=np.float32)
+    fb = np.zeros(1, dtype=np.float32)
+    cb = np.zeros(1, dtype=np.float32)
+    state = init_state("amsgrad", dim, 1)
+    state[0, 1] = 100.0  # pre-existing huge v_f: max() must keep it
+    train_shard(
+        np.array([0]), np.array([0]), np.array([1.0]),
+        focus, context, fb, cb, state,
+        method="amsgrad", cost="glove", max_x=2.0, iteration=0, batch=1,
+    )
+    assert state[0, 1] == pytest.approx(100.0 * 0.999 + 0, abs=1.0) or state[0, 1] >= 99.0
+
+
+def test_sequential_vs_batched_converge_alike():
+    """batch=1 is reference-exact; larger batches take a different path but
+    must converge to a comparable cost (metric-based acceptance per
+    north_star — hogwild vs averaged SGD differ the same way). The fixture
+    is adversarial: 200 entries over 20 nodes = every node duplicated ~10×
+    per batch (the hub-skew case the segmented-prefix denominator handles)."""
+    rng = np.random.default_rng(7)
+    n, dim, entries = 20, 8, 200
+    iu = rng.integers(0, n, entries)
+    jv = rng.integers(0, n, entries)
+    x = rng.uniform(0.5, 5.0, entries)
+
+    def run(batch, epochs=8):
+        focus, context, fb, cb = init_params(np.arange(n), dim, 42)
+        state = init_state("adagrad", dim, n)
+        c = 0.0
+        for e in range(epochs):
+            c = train_shard(iu.copy(), jv.copy(), x.copy(), focus, context, fb, cb, state,
+                            method="adagrad", cost="glove", max_x=5.0, iteration=e, batch=batch)
+        return c / entries
+
+    c_seq = run(1)
+    c_b64 = run(64)
+    c_b256 = run(256)
+    assert c_seq < 0.1  # sequential converges
+    assert c_b64 < 0.15 and c_b256 < 0.15  # batched lands in the same basin
+
+
+def test_init_params_deterministic_and_ranged():
+    a = init_params(np.array([5, 9, 123456789]), 16, 42)
+    b = init_params(np.array([123456789, 5, 9]), 16, 42)
+    # same node -> same vector regardless of position/partition
+    assert np.array_equal(a[0][0], b[0][1])
+    assert np.array_equal(a[0][2], b[0][0])
+    # U(-0.5, 0.5)/dim bound (Optimizer.java:50-57)
+    assert np.abs(a[0]).max() <= 0.5 / 16
+    c = init_params(np.array([5]), 16, 43)
+    assert not np.array_equal(a[0][0], c[0][0])  # seed matters
+
+
+# ---------------------------------------------------------------------------
+# Spark harness
+# ---------------------------------------------------------------------------
+
+def _tiny_cooc(spark):
+    rows = [
+        (0, 1, 2.0), (1, 0, 2.0), (0, 2, 1.0), (2, 0, 1.0),
+        (1, 2, 3.0), (2, 1, 3.0), (3, 0, 0.5), (0, 3, 0.5),
+    ]
+    cooc = spark.createDataFrame(rows, "i long, j long, x double")
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "node_id long")
+    return cooc, nodes
+
+
+def test_optimize_cost_decreases(spark):
+    cooc, nodes = _tiny_cooc(spark)
+    res = optimize(
+        cooc, nodes, dim=8, co_count=8, max_x=3.0, cost="glove", method="adagrad",
+        maxiter=6, tolerance=0.0, seed=42, n_shards=2, batch=1,
+    )
+    assert len(res.cost_history) == 6
+    assert res.cost_history[-1] < res.cost_history[0]
+    emb = extract_embeddings(res.params)
+    got = emb.orderBy("node_id").collect()
+    assert len(got) == 4 and len(got[0]["vec"]) == 8
+
+
+def test_extract_embeddings_is_average(spark):
+    params = init_params_df(
+        spark.createDataFrame([(0,), (1,)], "node_id long"), 4, 42, "adagrad"
+    )
+    joined = params.join(extract_embeddings(params), "node_id").collect()
+    for r in joined:
+        for f, c, v in zip(r["focus"], r["context"], r["vec"]):
+            assert v == pytest.approx((f + c) / 2, rel=1e-6)
+
+
+def test_untouched_nodes_keep_params(spark):
+    cooc, _ = _tiny_cooc(spark)
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "node_id long")  # 4,5 untouched
+    params = init_params_df(nodes, 4, 42, "adagrad")
+    before = {r["node_id"]: r["focus"] for r in params.collect()}
+    new_params, cost = train_epoch(
+        cooc, params, dim=4, method="adagrad", cost="glove", max_x=3.0,
+        iteration=0, seed=42, n_shards=2, batch=1,
+    )
+    after = {r["node_id"]: r["focus"] for r in new_params.collect()}
+    assert cost > 0
+    assert after[4] == before[4] and after[5] == before[5]
+    assert after[0] != before[0]  # touched node moved
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    cooc, nodes = _tiny_cooc(spark)
+    ckpt = str(tmp_path / "ckpt")
+    res = optimize(
+        cooc, nodes, dim=4, co_count=8, max_x=3.0, maxiter=2, tolerance=0.0,
+        seed=42, n_shards=2, batch=1, checkpoint_dir=ckpt,
+    )
+    from graph_embeddings_spark.glove.train import resume_params
+
+    reloaded = resume_params(spark, ckpt, 1)
+    a = {r["node_id"]: list(r["focus"]) for r in res.params.collect()}
+    b = {r["node_id"]: list(r["focus"]) for r in reloaded.collect()}
+    assert a == b

@@ -38,7 +38,8 @@ def test_extract_udf_byte_parity(spark, world):
 
 
 def test_latest_pages_dedup(spark, world):
-    pages = web_pages_df(spark, world, 200, partitions=4)
+    # first dup page under seed 42 is page_id 318; 400 pages guarantees dups
+    pages = web_pages_df(spark, world, 400, partitions=4)
     total, dedup = pages.count(), latest_pages(pages).count()
     assert dedup < total  # some dup urls existed
     latest = latest_pages(pages)
