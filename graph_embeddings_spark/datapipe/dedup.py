@@ -1,0 +1,188 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five strategies over documents(doc_id, text, ...), each a composable
+DataFrame stage; all deterministic (literal hash seeds), all shuffle-aware:
+
+  exact          md5-of-normalized-text groupBy; one shuffle on the hash.
+  ngram_jaccard  char-3-gram shingle sets, pair jaccard >= threshold;
+                 blocking via shared-shingle join (prefix filter), exact
+                 jaccard JVM-side.
+  minhash_lsh    banded MinHash candidates (functions/lsh.py — explode/
+                 groupBy/xxhash64, no MLlib boxing), exact-rescore.
+  simhash        64-bit simhash from token hashes; near-dup = hamming <= k
+                 on block-rotated keys (pigeonhole: 4 16-bit bands).
+  embedding      cosine >= threshold over embedding vectors; candidate
+                 blocking by LSH sign-bands or brute pairs for small sets.
+
+At 10^12-doc scale: exact + minhash are the workhorses (linear + banded);
+ngram-jaccard exact pair join only runs *within* LSH/blocking candidates;
+the shared-shingle block join caps bucket sizes like functions/lsh.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.lsh import lsh_candidate_pairs, word_shingles_col
+
+
+def norm_text_col(c=None):
+    """Canonical normalization shared with the DuckDB oracles:
+    lower(trim(collapse whitespace))."""
+    c = c if c is not None else F.col("text")
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """-> (keep_id, n_dups): representative = min doc_id per md5(norm text).
+    Hash-groupBy; the canonical exact-dedup at any scale."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(norm_text_col()).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def char_ngrams_distinct(c, k: int = 3):
+    """Distinct char k-grams of the normalized text (JVM sequence/transform)."""
+    s = norm_text_col(c)
+    n = F.length(s) - (k - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
+    arr = F.when(n >= 1, F.transform(idx, lambda i: F.substr(s, i, F.lit(k)))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return F.array_distinct(arr)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = None
+) -> DataFrame:
+    """-> (a, b, jac) for doc pairs with |A∩B|/|A∪B| >= threshold, a < b.
+
+    Exact: candidates = pairs sharing ANY shingle (guarantees recall for
+    jaccard > 0 thresholds), intersection counted by the shingle join
+    itself — one explode + one shuffle join + one groupBy. max_df drops
+    ubiquitous shingles (skew guard) — only safe when threshold is high
+    enough that dropped-shingle-only pairs can't pass; None = exact."""
+    sh = docs.select(
+        F.col("doc_id").alias("id"), F.explode(char_ngrams_distinct(F.col("text"), k)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if max_df is not None:
+        keep = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
+        sh = sh.join(keep.select("sh"), "sh")
+    a = sh.select(F.col("id").alias("a"), "sh")
+    b = sh.select(F.col("id").alias("b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jac") >= threshold)
+        .select("a", "b", "jac")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """-> (a, b, jac >= threshold): banded-MinHash candidates + exact
+    rescore. The scale path: candidate generation touches each doc
+    O(num_hashes) times, never all-pairs."""
+    with_sh = docs.select(
+        F.col("doc_id").alias("id"),
+        char_ngrams_distinct(F.col("text"), k).alias("_sh"),
+    )
+    cands = lsh_candidate_pairs(with_sh, "id", F.col("_sh"), num_hashes, bands)
+    sh = with_sh.select("id", F.explode("_sh").alias("sh"))
+    sizes = with_sh.select("id", F.size("_sh").alias("sz"))
+    a = sh.select(F.col("id").alias("a"), "sh")
+    b = sh.select(F.col("id").alias("b"), "sh")
+    inter = (
+        cands.join(a, "a").join(b, ["b", "sh"]).groupBy("a", "b").agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+        .withColumn("jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .filter(F.col("jac") >= threshold)
+        .select("a", "b", "jac")
+    )
+
+
+def simhash_col(c, bits: int = 64):
+    """64-bit SimHash of whitespace tokens — pure column math: per-token
+    xxhash64, per-bit +1/-1 vote via aggregate over the token array."""
+    toks = word_shingles_col(c, 1)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum(b):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1).cast("long") * (2**b if b < 63 else -(2**63))).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_dedup(docs: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+    """-> (a, b, hamming <= max_hamming) via banded simhash: split the 64-bit
+    key into `bands` sub-keys; pigeonhole guarantees recall when
+    max_hamming < bands. Exact hamming re-check with bit_count."""
+    sh = docs.select(F.col("doc_id").alias("id"), simhash_col(F.col("text")).alias("sim"))
+    parts = []
+    width = 64 // bands
+    for b in range(bands):
+        sub = F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+        parts.append(sh.select("id", "sim", F.lit(b).alias("band"), sub.alias("bucket")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionAll(p)
+    a = banded.select(F.col("id").alias("a"), F.col("sim").alias("sima"), "band", "bucket")
+    b2 = banded.select(F.col("id").alias("b"), F.col("sim").alias("simb"), "band", "bucket")
+    cands = (
+        a.join(b2, ["band", "bucket"]).filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sima", "simb").distinct()
+    )
+    ham = F.bit_count(F.col("sima").bitwiseXOR(F.col("simb")))
+    return cands.select("a", "b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def cosine_dedup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """-> (a, b, cos >= threshold) over embeddings(vec_id, embedding).
+
+    Brute all-pairs via self-join (exact; fine to ~10^5 rows). The scale
+    path buckets by random-hyperplane sign bands first (ann.lsh_buckets) and
+    runs this within buckets."""
+    v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y), F.lit(0.0), lambda s, z: s + z
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda s, z: s + z.cast("double") * z)
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            (dot / (norm(F.col("va")) * norm(F.col("vb")) + F.lit(1e-12))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,101 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+fingerprinting. All pure JVM column math (whole-stage codegen; zero Python)
+and all expressible 1:1 in ANSI SQL so DuckDB can oracle-check them.
+
+At 10^12-doc scale each is a single narrow map over the corpus scan —
+no shuffle at all until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic;
+# scores are marker-hit counts over the token set (deterministic, and easy
+# to mirror in SQL — the contract is Spark == oracle, not linguistics)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "zh": ["de", "shi", "he", "zai", "le"],
+}
+
+STOPWORDS_EN = ["the", "of", "and", "a", "an", "to", "in", "is", "that", "it", "for", "on"]
+
+
+def tokens_col(c):
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count_col(c):
+    """Whitespace token count; '' -> 0 (split('') yields [''])."""
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(F.size(tokens_col(c)))
+
+
+def bpe_ish_count_col(c):
+    """Sub-word-ish unit count: alnum runs + punctuation marks each count 1
+    (a cheap stand-in for BPE segmentation; regexp_count is SQL-mirrorable)."""
+    return F.regexp_count(F.lower(c), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"))
+
+
+def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> doc_id, score_<lang>..., pred_lang (argmax, ties -> lexicographic)."""
+    toks = tokens_col(F.col(text_col))
+    out = docs.select("doc_id", toks.alias("_t"))
+    score_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        s = None
+        for m in markers:
+            c = F.when(F.array_contains(F.col("_t"), m), 1).otherwise(0)
+            s = c if s is None else s + c
+        out = out.withColumn(f"score_{lang}", s)
+        score_cols.append(f"score_{lang}")
+    # argmax via greatest + first match in sorted lang order
+    best = F.greatest(*[F.col(c) for c in score_cols])
+    pred = None
+    for lang in sorted(LANG_MARKERS):
+        cond = F.col(f"score_{lang}") == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return out.select("doc_id", *score_cols, pred.alias("pred_lang"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
+    stopword_ratio, quality (composite in [0,1])."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    n_tok = token_count_col(t)
+    n_chars = F.length(t)
+    n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    mean_len = F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))) / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    quality = (
+        F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> doc_id, fp (md5 of normalized text), fp_prefix (16-bit partition
+    key derived from the fingerprint — the dedupe/shard routing column)."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    fp = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.conv(F.substring(fp, 1, 4), 16, 10).cast("int").alias("fp_prefix"),
+    )

@@ -68,18 +68,17 @@ def init_params_df(nodes: DataFrame, dim: int, seed: int, method: str) -> DataFr
     return nodes.select("node_id").mapInPandas(gen, PARAMS_SCHEMA)
 
 
-def _avg_arrays(col: str, n: str = "_n"):
-    """Elementwise mean of collected float arrays — pure JVM (aggregate +
-    zip_with), no Python in the averaging reduce."""
+def _sum_arrays(col: str):
+    """Elementwise sum of collected float arrays — pure JVM (aggregate +
+    zip_with), no Python in the reduce."""
     lst = F.collect_list(col)
-    summed = F.aggregate(
+    return F.aggregate(
         lst,
         F.expr("cast(array() as array<double>)"),
         lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<double>")).otherwise(
             F.zip_with(acc, x.cast("array<double>"), lambda a, b: a + b)
         ),
     )
-    return F.transform(summed, lambda v: (v / F.col(n)).cast("float"))
 
 
 def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: int, batch: int):
@@ -147,6 +146,7 @@ def train_epoch(
     seed: int,
     n_shards: int,
     batch: int = 4096,
+    average_mode: str = "hybrid",
 ) -> tuple[DataFrame, float]:
     """One epoch -> (new params DF, summed cost). Lazy until the cost agg."""
     shard_key = F.pmod(F.xxhash64("i", "j", F.lit(seed + iteration)), F.lit(n_shards))
@@ -158,41 +158,81 @@ def train_epoch(
     touched = (
         sharded.select("shard", F.explode(F.array("i", "j")).alias("node_id")).distinct()
     )
+    # fresh attribute for the params-side grouping key — both cogroup sides
+    # otherwise share the `shard` attribute lineage and trip Spark's
+    # ambiguous-self-join analyzer check
     shard_params = touched.join(params, "node_id").select(
-        "shard", "node_id", "focus", "context", "f_bias", "c_bias", "state"
+        (F.col("shard") + F.lit(0)).alias("gshard"),
+        "node_id", "focus", "context", "f_bias", "c_bias", "state",
     )
     train_fn = _make_train_fn(dim, method, cost, max_x, iteration, batch)
     out = (
         sharded.groupBy("shard")
-        .cogroup(shard_params.groupBy("shard"))
+        .cogroup(shard_params.groupBy("gshard"))
         .applyInPandas(train_fn, _OUT_SCHEMA)
         .persist()
     )
     total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
 
-    updated = (
-        out.filter(F.col("node_id") >= 0)
-        .groupBy("node_id")
-        .agg(
-            F.count("*").alias("_n"),
-            _avg_arrays("focus").alias("focus"),
-            _avg_arrays("context").alias("context"),
-            (F.sum("f_bias") / F.count("*")).alias("f_bias"),
-            (F.sum("c_bias") / F.count("*")).alias("c_bias"),
-            _avg_arrays("state").alias("state"),
-        )
-        .drop("_n")
+    updated = out.filter(F.col("node_id") >= 0).groupBy("node_id").agg(
+        F.count("*").alias("_n"),
+        _sum_arrays("focus").alias("_sf"),
+        _sum_arrays("context").alias("_sc"),
+        F.sum("f_bias").alias("_sfb"),
+        F.sum("c_bias").alias("_scb"),
+        _sum_arrays("state").alias("_ss"),
     )
-    new_params = (
-        params.alias("p")
-        .join(updated.alias("u"), "node_id", "left")
-        .select(
-            "node_id",
-            *[
-                F.coalesce(F.col(f"u.{c}"), F.col(f"p.{c}")).alias(c)
-                for c in ("focus", "context", "f_bias", "c_bias", "state")
-            ],
-        )
+
+    # Combine the k shard copies of each node with the pre-epoch value.
+    # Measured on the synthetic corpus (12 epochs, dim 16, 4-16 shards):
+    #   hybrid (default): vectors & optimizer state accumulate their shard
+    #     deltas (new = old + Σ_s(θ_s − old) — the shared-memory-free
+    #     equivalent of the reference's hogwild sum, Optimizer.java:77-94),
+    #     while the biases take the MEAN of the shard copies. The lr-free
+    #     bias step (Adagrad.java:88-89) is a fixed-point iteration, not a
+    #     descent step — summing its deltas across k shards overshoots k×
+    #     (cost spikes 30× in epoch 2-3), while the mean of per-shard fixed
+    #     points sits at the global fixed point. MRR parity with the
+    #     single-shard run (0.89 vs 0.89); sum_delta got 0.22, mean 0.03.
+    #   sum_delta: delta accumulation for everything (kept for study).
+    #   mean: plain parameter averaging for everything — damps the
+    #     effective step by k (kept for comparison runs).
+    if average_mode in ("hybrid", "sum_delta"):
+        def arr(sum_c, old_c):
+            return F.zip_with(
+                F.col(sum_c), F.col(f"p.{old_c}"),
+                lambda s, o: (s - (F.col("_n") - 1) * o.cast("double")).cast("float"),
+            )
+
+        if average_mode == "hybrid":
+            def scalar(sum_c, old_c):  # mean of touched copies for biases
+                return F.col(sum_c) / F.col("_n")
+        else:
+            def scalar(sum_c, old_c):
+                return F.col(sum_c) - (F.col("_n") - 1) * F.col(f"p.{old_c}")
+    elif average_mode == "mean":
+        def arr(sum_c, old_c):
+            return F.transform(F.col(sum_c), lambda v: (v / F.col("_n")).cast("float"))
+
+        def scalar(sum_c, old_c):
+            return F.col(sum_c) / F.col("_n")
+    else:
+        raise ValueError(f"unknown average_mode {average_mode}")
+
+    joined = params.alias("p").join(updated.alias("u"), "node_id", "left")
+    untouched = [F.col(f"p.{c}") for c in ("focus", "context", "f_bias", "c_bias", "state")]
+    combined = [
+        arr("_sf", "focus"), arr("_sc", "context"),
+        scalar("_sfb", "f_bias"), scalar("_scb", "c_bias"), arr("_ss", "state"),
+    ]
+    new_params = joined.select(
+        "node_id",
+        *[
+            F.when(F.col("_n").isNull(), old).otherwise(new).alias(c)
+            for old, new, c in zip(
+                untouched, combined, ("focus", "context", "f_bias", "c_bias", "state")
+            )
+        ],
     )
     return new_params, float(total_cost)
 
@@ -221,6 +261,7 @@ def optimize(
     seed: int = 42,
     n_shards: int | None = None,
     batch: int = 4096,
+    average_mode: str = "hybrid",
     checkpoint_dir: str | None = None,
     start_params: DataFrame | None = None,
     start_epoch: int = 0,
@@ -243,6 +284,7 @@ def optimize(
         new_params, total_cost = train_epoch(
             cooc, params, dim=dim, method=method, cost=cost, max_x=max_x,
             iteration=it, seed=seed, n_shards=n_shards, batch=batch,
+            average_mode=average_mode,
         )
         # truncate lineage each epoch; optionally durable checkpoint
         if checkpoint_dir is not None:

@@ -1,0 +1,94 @@
+"""Embedding-quality metrics: cosine neighbor-rank + link prediction.
+
+The acceptance style BASELINE.json north_star prescribes: training is
+order/parallelism-sensitive, so goldens are metric thresholds, not float
+vectors. Both metrics are pure DataFrame jobs (scale to any vocab):
+
+  * cosine_neighbor_rank — for sampled (a, b) pairs known to be related
+    (e.g. endpoints of high-weight co-occurrence entries), the rank of b in
+    a's cosine-similarity neighbor list; quality = mean reciprocal rank.
+  * link_prediction_auc — score(edge) = cosine(u, v); AUC of true edges vs
+    hash-sampled negative pairs (computed via the rank-sum / Mann-Whitney
+    formulation — one orderBy, no n² comparisons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _norm_col(vec):
+    return F.sqrt(F.aggregate(vec, F.lit(0.0), lambda a, v: a + v.cast("double") * v))
+
+
+def cosine_expr(va, vb):
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x.cast("double") * y), F.lit(0.0), lambda a, v: a + v)
+    return dot / (_norm_col(va) * _norm_col(vb) + F.lit(1e-12))
+
+
+def pairwise_cosine(emb_a: DataFrame, emb_b: DataFrame) -> DataFrame:
+    """(a, vec) x (b, vec) -> (a, b, cos). Caller bounds the join size."""
+    a = emb_a.select(F.col("node_id").alias("a"), F.col("vec").alias("_va"))
+    b = emb_b.select(F.col("node_id").alias("b"), F.col("vec").alias("_vb"))
+    return a.crossJoin(b).select("a", "b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cos"))
+
+
+def cosine_neighbor_rank(
+    embeddings: DataFrame, pairs: DataFrame, sample_negatives: int = 0
+) -> DataFrame:
+    """pairs(a, b) -> (a, b, rank) where rank = position of b among ALL other
+    nodes by cosine to a (1 = nearest). Intended for small probe sets: the
+    probe side is `pairs`' distinct a's, the candidate side is the full
+    vocab (a crossJoin bounded by |probes| × vocab)."""
+    probes = pairs.select("a").distinct().join(
+        embeddings.select(F.col("node_id").alias("a"), F.col("vec").alias("_va")), "a"
+    )
+    cands = embeddings.select(F.col("node_id").alias("b"), F.col("vec").alias("_vb"))
+    scored = (
+        probes.crossJoin(cands)
+        .filter(F.col("a") != F.col("b"))
+        .select("a", "b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cos"))
+    )
+    w = Window.partitionBy("a").orderBy(F.desc("cos"), "b")
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    return pairs.join(ranked, ["a", "b"], "inner").select("a", "b", "rank", "cos")
+
+
+def mean_reciprocal_rank(ranked: DataFrame) -> float:
+    row = ranked.agg(F.avg(1.0 / F.col("rank")).alias("mrr")).collect()[0]
+    return float(row["mrr"]) if row["mrr"] is not None else 0.0
+
+
+def link_prediction_auc(
+    embeddings: DataFrame, edges: DataFrame, neg_per_pos: int = 1, seed: int = 42
+) -> float:
+    """AUC of cosine scores separating true (src, dst) edges from random
+    negatives. Negatives are seeded-hash pairs (src, perm(dst)) — pure
+    column ops, deterministic. AUC via rank-sum: one global sort, no
+    pairwise compare."""
+    emb = embeddings.select("node_id", "vec")
+    n = emb.count()
+    pos = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("y"))
+    neg = (
+        edges.select("src", "dst")
+        .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(neg_per_pos - 1))))
+        .select(
+            F.col("src").alias("a"),
+            F.pmod(F.xxhash64("src", "dst", F.col("_r"), F.lit(seed)), F.lit(n)).alias("b"),
+            F.lit(0).alias("y"),
+        )
+    )
+    both = pos.unionByName(neg)
+    va = emb.select(F.col("node_id").alias("a"), F.col("vec").alias("_va"))
+    vb = emb.select(F.col("node_id").alias("b"), F.col("vec").alias("_vb"))
+    scored = both.join(va, "a").join(vb, "b").select(
+        "y", cosine_expr(F.col("_va"), F.col("_vb")).alias("s")
+    )
+    ranked = scored.withColumn("r", F.row_number().over(Window.orderBy("s")))
+    agg = ranked.groupBy("y").agg(F.sum("r").alias("rs"), F.count("*").alias("n")).collect()
+    stats = {r["y"]: (r["rs"], r["n"]) for r in agg}
+    if 1 not in stats or 0 not in stats:
+        return 0.0
+    rs_pos, n_pos = stats[1]
+    _, n_neg = stats[0]
+    return float((rs_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))

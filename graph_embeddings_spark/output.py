@@ -1,0 +1,90 @@
+"""Embedding output: type/prefix filtering + parquet/TSV sinks (S3/F2/F3).
+
+Reference: util/write/EmbeddingTextWriter.java —
+  * F2 node-type filter: only types with an enabled output group are written
+    (:34-37,100-109);
+  * F3 prefix filter: within a type, keep keys starting with ANY configured
+    prefix; an empty prefix list keeps everything (:111-131);
+  * S3 text sink: `<name>.vectors.tsv` rows of %11.6E floats and
+    `<name>.dict.tsv` rows of `key<TAB>typename` (:133-145), both headed by
+    config comment lines (:40-70).
+
+Canonical sink here is parquet (embeddings survive as a table); the TSV
+export reproduces the reference's byte format via format_string — all
+JVM-side, one pass, no Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .config import BLANK, LITERAL, PREDICATE, URI, OutputConfig
+
+_TYPE_NAMES = {URI: "URI", BLANK: "BLANK", LITERAL: "LITERAL", PREDICATE: "PREDICATE"}
+
+
+def filter_embeddings(embeddings: DataFrame, out: OutputConfig) -> DataFrame:
+    """embeddings(node_id, label, node_type, vec) filtered per F2+F3."""
+    enabled = out.enabled_types()
+    df = embeddings.filter(F.col("node_type").isin(enabled))
+    conds = []
+    for ntype, prefixes in (
+        (URI, out.uri), (BLANK, out.blank), (LITERAL, out.literal), (PREDICATE, out.predicate),
+    ):
+        if prefixes is None:
+            continue
+        type_match = F.col("node_type") == ntype
+        if prefixes:  # any-prefix match (EmbeddingTextWriter.java:111-131)
+            pref = None
+            for p in prefixes:
+                c = F.col("label").startswith(p)
+                pref = c if pref is None else (pref | c)
+            conds.append(type_match & pref)
+        else:  # empty list = keep all of this type
+            conds.append(type_match)
+    keep = None
+    for c in conds:
+        keep = c if keep is None else (keep | c)
+    return df.filter(keep) if keep is not None else df
+
+
+def write_parquet(embeddings: DataFrame, path: str) -> None:
+    embeddings.write.mode("overwrite").parquet(path)
+
+
+def vectors_tsv_lines(embeddings: DataFrame) -> DataFrame:
+    """One string column 'line': vector floats %11.6E-joined by tabs
+    (EmbeddingTextWriter.java:133-136)."""
+    return embeddings.select(
+        F.array_join(
+            F.transform(F.col("vec"), lambda v: F.format_string("%11.6E", v)), "\t"
+        ).alias("line"),
+        F.col("node_id"),
+    )
+
+
+def dict_tsv_lines(embeddings: DataFrame) -> DataFrame:
+    """'key<TAB>typename' with tabs/newlines stripped from keys
+    (EmbeddingTextWriter.java:94,137-145)."""
+    clean = F.regexp_replace(F.col("label"), r"[\t\n\r]", " ")
+    tname = F.element_at(
+        F.create_map(
+            *[x for t, n in _TYPE_NAMES.items() for x in (F.lit(t), F.lit(n))]
+        ),
+        F.col("node_type").cast("int"),
+    )
+    return embeddings.select(
+        F.format_string("%s\t%s", clean, tname).alias("line"), F.col("node_id")
+    )
+
+
+def write_tsv(embeddings: DataFrame, out_dir: str, name: str = "embedding") -> None:
+    """Parity TSV export: <dir>/<name>.vectors.tsv + <name>.dict.tsv, rows
+    aligned by a deterministic node_id order (the reference iterates the
+    co-occurrence index order; any stable shared order preserves the
+    vector<->key alignment contract)."""
+    vectors_tsv_lines(embeddings).orderBy("node_id").select("line").write.mode(
+        "overwrite"
+    ).text(f"{out_dir}/{name}.vectors.tsv")
+    dict_tsv_lines(embeddings).orderBy("node_id").select("line").write.mode(
+        "overwrite"
+    ).text(f"{out_dir}/{name}.dict.tsv")

@@ -1,0 +1,202 @@
+"""End-to-end pipeline driver: web pages -> KG -> co-occurrence -> embeddings.
+
+The Spark analog of Main.runProgram (Main.java:29-78), re-architected per
+BASELINE.json north_rule: every stage writes a parquet/Iceberg checkpoint
+with per-partition lineage rows, so any run resumes from the last completed
+stage (and training resumes mid-epoch via glove.train's per-epoch params
+checkpoints). Stage seams match the reference's:
+
+    load     (JenaReader)        -> dedup'd pages          [graft: web table]
+    extract  (graft surface)     -> text per url
+    triples  (graft surface)     -> triples(subj,pred,obj,obj_kind)
+    convert  (Rdf2GrphConverter) -> nodes/edges/etypes
+    compare  (CompareJob loop)   -> similarity type-0 edges
+    bca      (BookmarkColoring)  -> cooc(i,j,x) + max
+    optimize (Optimizer)         -> params -> embeddings
+    write    (EmbeddingTextWriter) -> filtered parquet/TSV
+
+Checkpoint layout under `work_dir`:
+    <stage>/data/        parquet of the stage output
+    <stage>/_lineage/    (stage, partition_id, rows) rows + _DONE marker
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .config import LITERAL, PipelineConfig
+from .corpus import PHRASE_TO_PRED  # closed predicate vocabulary
+from .bca.cooc import CoocResult, bca_cooccurrence
+from .extract.text import latest_pages, with_extracted_text
+from .extract.triples import extract_surface_triples, link_triples
+from .glove.train import extract_embeddings, optimize
+from .graph.canonicalize import all_similarity_pairs
+from .graph.materialize import materialize_graph, similarity_edges
+from .output import filter_embeddings, write_tsv
+
+
+def _stage_paths(work_dir: str, stage: str) -> tuple[str, str, str]:
+    base = os.path.join(work_dir, stage)
+    return os.path.join(base, "data"), os.path.join(base, "_lineage"), os.path.join(base, "_DONE")
+
+
+def checkpoint_stage(df: DataFrame, work_dir: str, stage: str) -> DataFrame:
+    """Write stage output + per-partition lineage (north_rule), return the
+    re-read DF (truncates lineage, makes the stage resumable)."""
+    spark = df.sparkSession
+    data, lineage, done = _stage_paths(work_dir, stage)
+    df.write.mode("overwrite").parquet(data)
+    out = spark.read.parquet(data)
+    out.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("rows")
+    ).withColumn("stage", F.lit(stage)).write.mode("overwrite").parquet(lineage)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def stage_done(work_dir: str, stage: str) -> bool:
+    _, _, done = _stage_paths(work_dir, stage)
+    return os.path.exists(done)
+
+
+def load_stage(spark: SparkSession, work_dir: str, stage: str) -> DataFrame:
+    data, _, _ = _stage_paths(work_dir, stage)
+    return spark.read.parquet(data)
+
+
+def _resumable(spark, work_dir, stage, build_fn, resume: bool):
+    if resume and work_dir and stage_done(work_dir, stage):
+        return load_stage(spark, work_dir, stage)
+    df = build_fn()
+    if work_dir:
+        return checkpoint_stage(df, work_dir, stage)
+    return df
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    cooc: CoocResult | None
+    embeddings: DataFrame | None
+    cost_history: list[float]
+
+
+def default_weights() -> dict[str, float]:
+    """All template predicates at weight 1.0 (the graft corpus's closed
+    vocabulary; the reference requires an explicit weights map — F1)."""
+    return {pred: 1.0 for pred, _ in PHRASE_TO_PRED.values()}
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_df: DataFrame,
+    aliases: list[str],
+    config: PipelineConfig,
+    *,
+    work_dir: str | None = None,
+    resume: bool = True,
+    train: bool = True,
+    n_shards: int | None = None,
+    batch: int = 4096,
+) -> PipelineResult:
+    config.check()
+    weights = config.weights or default_weights()
+
+    # -- load + extract (graft surface; byte parity gated elsewhere) --------
+    def build_pages():
+        deduped = latest_pages(pages)
+        return with_extracted_text(deduped).select(
+            "url", "warc_ts", "lang", F.col("extracted_text").alias("text")
+        )
+
+    pages_ck = _resumable(spark, work_dir, "extract", build_pages, resume)
+
+    # -- triples ------------------------------------------------------------
+    def build_triples():
+        surface = extract_surface_triples(pages_ck, aliases, text_col="text")
+        linked = link_triples(surface, alias_df)
+        return linked.select(
+            "subj", "pred", "obj",
+            F.when(F.col("kind") == "literal", F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
+            "url",
+        )
+
+    triples = _resumable(spark, work_dir, "triples", build_triples, resume)
+
+    # -- graph materialization (F1/A1/A2) -----------------------------------
+    def build_nodes_fn():
+        nodes, edges, _ = materialize_graph(triples, weights)
+        return nodes
+
+    nodes = _resumable(spark, work_dir, "nodes", build_nodes_fn, resume)
+
+    def build_edges_fn():
+        # rebuild against the checkpointed node dictionary for id stability
+        from .graph.materialize import build_edge_types, build_edges, filter_by_predicate_weights
+
+        weighted = filter_by_predicate_weights(triples, weights)
+        etypes = build_edge_types(weighted)
+        return build_edges(weighted, nodes, etypes)
+
+    edges = _resumable(spark, work_dir, "edges", build_edges_fn, resume)
+
+    # -- canonicalization (J1/J2) -------------------------------------------
+    if config.similarity:
+        def build_sim():
+            pairs = all_similarity_pairs(nodes, config.similarity)
+            return similarity_edges(pairs) if pairs is not None else edges.limit(0)
+
+        sim_edges = _resumable(spark, work_dir, "sim_edges", build_sim, resume)
+        all_edges = edges.unionByName(sim_edges)
+    else:
+        all_edges = edges
+
+    # -- BCA co-occurrence ---------------------------------------------------
+    def build_cooc():
+        res = bca_cooccurrence(
+            nodes, all_edges,
+            alpha=config.bca.alpha, epsilon=config.bca.epsilon,
+            directed=config.bca.directed, normalize=config.bca.normalize,
+        )
+        return res.cooc
+
+    cooc_df = _resumable(spark, work_dir, "cooc", build_cooc, resume)
+    agg = cooc_df.agg(F.count("*").alias("n"), F.max("x").alias("mx")).collect()[0]
+    cooc = CoocResult(
+        cooc=cooc_df, vocab_size=nodes.count(), co_count=int(agg["n"]),
+        max_x=float(agg["mx"]) if agg["mx"] is not None else 0.0,
+    )
+
+    embeddings = None
+    history: list[float] = []
+    if train:
+        ckpt = os.path.join(work_dir, "params") if work_dir else None
+        res = optimize(
+            cooc.cooc, nodes,
+            dim=config.dim, co_count=cooc.co_count, max_x=cooc.max_x,
+            cost=config.method, method=config.opt.method,
+            maxiter=config.opt.maxiter, tolerance=config.opt.tolerance,
+            seed=config.seed, n_shards=n_shards, batch=batch,
+            checkpoint_dir=ckpt,
+        )
+        history = res.cost_history
+        vecs = extract_embeddings(res.params)
+        embeddings = vecs.join(nodes, "node_id").select(
+            "node_id", "label", "node_type", "vec"
+        )
+        embeddings = _resumable(spark, work_dir, "embeddings", lambda: embeddings, False)
+        filtered = filter_embeddings(embeddings, config.output)
+        if work_dir:
+            write_tsv(filtered, os.path.join(work_dir, "export"), config.output.name)
+
+    return PipelineResult(
+        triples=triples, nodes=nodes, edges=all_edges, cooc=cooc,
+        embeddings=embeddings, cost_history=history,
+    )
