@@ -1,0 +1,188 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "triples_per_sec": ..., "glove_epoch_sec": ..., "pages": N}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] cores (default 32)
+    SPARK_GRAFT_PAGES    synthetic corpus size for the pipeline section
+                         (default 20000)
+    SPARK_GRAFT_SCALING  "1" -> also run the pipeline section at local[8]
+                         and local[32] in fresh subprocesses and report
+                         scaling efficiency (writes BENCH/BASELINE.md)
+
+Timings use a noop-format write to force full evaluation without driver
+collection (count() would let Catalyst prune computed columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "20000"))
+
+HEADLINE = [
+    "pricing_summary",
+    "star_join_rollup",
+    "latest_event_per_user",
+    "a1_vertex_dedup",
+    "cooc_upsert_sum",
+    "window_topn",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "lang_id",
+    "text_quality",
+    "token_counts",
+]
+
+
+def _force(df):
+    df.write.mode("overwrite").format("noop").save()
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    # warm the JVM + page cache: one untimed scan of each input table so the
+    # first timed query doesn't absorb JIT/IO warmup
+    for t in ("lineitem", "orders", "customer", "nation", "region", "part",
+              "events", "documents", "embeddings"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
+    out = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def run_pipeline_section(spark, n_pages: int) -> dict:
+    """Corpus -> text extraction -> triples (throughput), then graph -> BCA
+    -> one GloVe epoch (wall time). The north-rule metrics."""
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.corpus import alias_dict_df, build_world, web_pages_df
+    from graph_embeddings_spark.extract.text import latest_pages, with_extracted_text
+    from graph_embeddings_spark.extract.triples import extract_surface_triples, link_triples
+    from graph_embeddings_spark.graph.materialize import materialize_graph
+    from graph_embeddings_spark.bca.cooc import bca_cooccurrence
+    from graph_embeddings_spark.glove.train import init_params_df, train_epoch
+    from graph_embeddings_spark.pipeline import default_weights
+
+    world = build_world(42, 120)
+    pages = web_pages_df(spark, world, n_pages, partitions=max(8, CPUS)).persist()
+    pages.count()  # materialize generation outside the timed region
+
+    t0 = time.perf_counter()
+    deduped = latest_pages(pages)
+    texted = with_extracted_text(deduped).select(
+        "url", F.col("extracted_text").alias("text")
+    )
+    surface = extract_surface_triples(texted, sorted(world.alias_map))
+    triples = link_triples(surface, alias_dict_df(spark, world)).select(
+        "subj", "pred", "obj",
+        F.when(F.col("kind") == "literal", F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
+    ).persist()
+    n_triples = triples.count()
+    extract_sec = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    nodes, edges, _ = materialize_graph(triples, default_weights())
+    nodes = nodes.persist()
+    edges = edges.persist()
+    res = bca_cooccurrence(nodes, edges, alpha=0.1, epsilon=1e-3, directed=False)
+    bca_sec = time.perf_counter() - t1
+
+    cooc = res.cooc
+    params = init_params_df(nodes, 32, 42, "adagrad").persist()
+    params.count()
+    t2 = time.perf_counter()
+    new_params, _cost = train_epoch(
+        cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
+        iteration=0, seed=42, n_shards=max(8, CPUS), batch=4096,
+    )
+    _force(new_params)
+    epoch_sec = time.perf_counter() - t2
+
+    pages.unpersist()
+    return {
+        "pages": n_pages,
+        "n_triples": n_triples,
+        "extract_sec": round(extract_sec, 3),
+        "triples_per_sec": round(n_triples / extract_sec, 1),
+        "pages_per_sec": round(n_pages / extract_sec, 1),
+        "bca_sec": round(bca_sec, 3),
+        "cooc_entries": res.co_count,
+        "glove_epoch_sec": round(epoch_sec, 3),
+    }
+
+
+def main():
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        # child mode: pipeline section only, emit JSON on stdout
+        from graph_embeddings_spark.session import get_spark
+
+        spark = get_spark("bench-child", cores=CPUS, shuffle_partitions=max(8, CPUS))
+        stats = run_pipeline_section(spark, PAGES)
+        print("CHILD" + json.dumps(stats))
+        spark.stop()
+        return
+
+    from graph_embeddings_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(8, CPUS))
+    queries = run_queries(spark)
+    pipe = run_pipeline_section(spark, PAGES)
+    spark.stop()
+
+    result = {
+        "metric": "headline queries + KG pipeline (triples/sec, GloVe epoch sec)",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        **pipe,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for cores in (8, 32):
+            env = dict(os.environ)
+            env.update(
+                SPARK_GRAFT_BENCH_CHILD="1",
+                SPARK_GRAFT_CPUS=str(cores),
+                SPARK_GRAFT_PAGES=str(PAGES),
+            )
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")][-1]
+            scaling[f"local[{cores}]"] = json.loads(line[5:])
+        tp8 = scaling["local[8]"]["triples_per_sec"]
+        tp32 = scaling["local[32]"]["triples_per_sec"]
+        result["scaling"] = {
+            "local8_triples_per_sec": tp8,
+            "local32_triples_per_sec": tp32,
+            "efficiency": round(tp32 / (4 * tp8), 3),
+            "local8_glove_epoch_sec": scaling["local[8]"]["glove_epoch_sec"],
+            "local32_glove_epoch_sec": scaling["local[32]"]["glove_epoch_sec"],
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

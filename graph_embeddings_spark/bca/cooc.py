@@ -170,6 +170,149 @@ def normalize_bcvs(bcv: DataFrame, mode: str) -> DataFrame:
     raise ValueError(f"unknown normalize mode {mode}")
 
 
+def _collect_csr(edges: DataFrame, direction: str, n: int):
+    """Driver-side CSR adjacency (indptr, indices, weights, wsum) for the
+    broadcast fast path. Requires node ids in [0, n)."""
+    import numpy as np
+
+    if direction == "out":
+        rows = edges.select("src", "dst", "weight").collect()
+        pairs = [(r["src"], r["dst"], r["weight"]) for r in rows]
+    elif direction == "in":
+        rows = edges.select("src", "dst", "weight").collect()
+        pairs = [(r["dst"], r["src"], r["weight"]) for r in rows]
+    else:  # both
+        rows = edges.select("src", "dst", "weight").collect()
+        pairs = [(r["src"], r["dst"], r["weight"]) for r in rows] + [
+            (r["dst"], r["src"], r["weight"]) for r in rows
+        ]
+    if pairs:
+        src = np.array([p[0] for p in pairs], dtype=np.int64)
+        dst = np.array([p[1] for p in pairs], dtype=np.int64)
+        w = np.array([p[2] for p in pairs], dtype=np.float64)
+        order = np.argsort(src, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+    else:
+        src = np.zeros(0, dtype=np.int64)
+        dst = np.zeros(0, dtype=np.int64)
+        w = np.zeros(0, dtype=np.float64)
+    indptr = np.searchsorted(src, np.arange(n + 1))
+    wsum = np.zeros(n)
+    np.add.at(wsum, src, w)
+    return indptr, dst, w, wsum
+
+
+def _bca_root_kernel(root: int, indptr, indices, weights, wsum, alpha: float, epsilon: float, scratch):
+    """Exact reference kernel for ONE root: sequential queue popped in
+    ascending node-id order (DirectedWeighted.java:46-99's TreeMap). numpy
+    scratch buffers are reused across roots within a task; hub-node
+    distributions are numpy-vectorized (a hub pop touches thousands of
+    neighbors — the scalar loop is the bottleneck otherwise)."""
+    import heapq
+
+    import numpy as np
+
+    paint, inq = scratch
+    bcv: dict[int, float] = {}
+    heap = [root]
+    paint[root] = 1.0
+    inq[root] = True
+    while heap:
+        u = heapq.heappop(heap)
+        if not inq[u]:
+            continue
+        p = paint[u]
+        paint[u] = 0.0
+        inq[u] = False
+        bcv[u] = bcv.get(u, 0.0) + alpha * p
+        if p < epsilon:
+            continue
+        s, e = int(indptr[u]), int(indptr[u + 1])
+        if s == e or wsum[u] == 0:
+            continue
+        factor = (1.0 - alpha) * p / wsum[u]
+        if e - s <= 16:  # scalar path: cheaper than numpy setup for low degree
+            for k in range(s, e):
+                part = factor * weights[k]
+                if part < epsilon:
+                    continue
+                v = int(indices[k])
+                paint[v] += part
+                if not inq[v]:
+                    inq[v] = True
+                    heapq.heappush(heap, v)
+        else:
+            part = factor * weights[s:e]
+            m = part >= epsilon
+            if not m.any():
+                continue
+            vs = indices[s:e][m]
+            np.add.at(paint, vs, part[m])
+            fresh = vs[~inq[vs]]
+            if len(fresh):
+                fresh = np.unique(fresh)
+                inq[fresh] = True
+                for v in fresh:
+                    heapq.heappush(heap, int(v))
+    return bcv
+
+
+def _broadcast_bca(
+    nodes: DataFrame,
+    edges: DataFrame,
+    alpha: float,
+    epsilon: float,
+    directed: bool,
+    n: int,
+) -> DataFrame:
+    """Broadcast fast path: ship the CSR adjacency to every task (like a
+    broadcast hash join's build side) and run the exact per-root reference
+    kernel over a partition of roots — one task per root chunk, zero
+    shuffles, sequential-queue parity with the reference (better than the
+    level-synchronous loop's merge-timing approximation). Used when the
+    adjacency fits in executor memory; the iterative loop is the beyond-
+    memory path."""
+    import numpy as np
+    import pandas as pd
+
+    spark = nodes.sparkSession
+    if directed:
+        csr_f = _collect_csr(edges, "out", n)
+        csr_r = _collect_csr(edges, "in", n)
+        csrs = [csr_f, csr_r]
+    else:
+        csrs = [_collect_csr(edges, "both", n)]
+    bc = spark.sparkContext.broadcast(csrs)
+
+    def run(batches):
+        local = bc.value
+        paint = np.zeros(n)
+        inq = np.zeros(n, dtype=bool)
+        for pdf in batches:
+            ii, jj, xx = [], [], []
+            for root in pdf["node_id"]:
+                root = int(root)
+                merged: dict[int, float] = {}
+                for indptr, indices, weights, wsum in local:
+                    bcv = _bca_root_kernel(
+                        root, indptr, indices, weights, wsum, alpha, epsilon, (paint, inq)
+                    )
+                    for k, v in bcv.items():
+                        merged[k] = merged.get(k, 0.0) + v
+                for k, v in merged.items():
+                    ii.append(root)
+                    jj.append(k)
+                    xx.append(v)
+            yield pd.DataFrame({"i": ii, "j": jj, "x": xx})
+
+    parallelism = spark.sparkContext.defaultParallelism
+    return (
+        nodes.select("node_id")
+        .repartition(max(parallelism, 8))
+        .mapInPandas(run, "i long, j long, x double")
+    )
+
+
 @dataclass
 class CoocResult:
     """The CoOccurrenceMatrix seam (util/CoOccurrenceMatrix.java:6-17):
@@ -191,16 +334,36 @@ def bca_cooccurrence(
     max_rounds: int | None = None,
     salt_degree: int = 0,
     use_checkpoint: bool = True,
+    strategy: str = "auto",
+    broadcast_edge_limit: int = 5_000_000,
 ) -> CoocResult:
     """Full BCA stage (BookmarkColoring.java:32-120 analog).
 
     directed=True: forward pass over out-edges + reverse pass over in-edges,
     sum-merged (BCAJob.java:32-36, BCV.merge) BEFORE normalization.
     directed=False: single pass over the combined in∪out neighborhood.
+
+    strategy: physical plan choice, mirroring Spark's broadcast-vs-shuffle
+    join decision —
+      'broadcast': collect the adjacency CSR to the driver, broadcast it,
+        run the exact sequential per-root reference kernel in mapInPandas
+        (zero shuffles; one task per root chunk — the reference's one-job-
+        per-bookmark thread pool, BookmarkColoring.java:47-71, mapped to
+        tasks). Right whenever the graph fits in memory (edges ~ tens of
+        bytes each; 5M edges ≈ 150 MB broadcast).
+      'loop': the level-synchronous DataFrame loop — the beyond-memory path
+        for graphs too big to broadcast.
+      'auto': broadcast iff edge count <= broadcast_edge_limit.
     """
     rounds = max_rounds or max_rounds_bound(alpha, epsilon)
     roots = nodes.select("node_id")
-    if directed:
+    n_nodes = nodes.count()
+
+    if strategy == "auto":
+        strategy = "broadcast" if edges.count() <= broadcast_edge_limit else "loop"
+    if strategy == "broadcast":
+        bcv = _broadcast_bca(nodes, edges, alpha, epsilon, directed, int(n_nodes))
+    elif directed:
         adj_out = build_adjacency(edges, "out", salt_degree)
         adj_in = build_adjacency(edges, "in", salt_degree)
         fwd = _one_direction(roots, adj_out, alpha, epsilon, rounds, use_checkpoint)
@@ -221,7 +384,7 @@ def bca_cooccurrence(
     agg = normed.agg(
         F.count("*").alias("n"), F.max("x").alias("mx")
     ).collect()[0]
-    vocab = nodes.count()
+    vocab = n_nodes
     return CoocResult(
         cooc=normed,
         vocab_size=int(vocab),

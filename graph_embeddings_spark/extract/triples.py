@@ -37,20 +37,36 @@ SURFACE_TRIPLES_SCHEMA = (
 )
 
 
-def _sentence_triples(sentence: str, pattern: re.Pattern):
-    spans = [(m.start(), m.end(), m.group(0), "entity") for m in pattern.finditer(sentence)]
-    date_spans = [(m.start(), m.end(), m.group(0), "date") for m in _DATE_RE.finditer(sentence)]
+def _block_triples(block: str, pattern: re.Pattern):
+    """Single-pass scan of one text block: find all entity/date/year spans
+    once (three compiled-regex passes over the WHOLE block — far cheaper
+    than per-sentence scans), then pair consecutive spans that fall inside
+    the same sentence and whose gap text is a known predicate phrase.
+
+    Semantics identical to a per-sentence scan: a sentence boundary between
+    two spans disqualifies the pair."""
+    spans = [(m.start(), m.end(), m.group(0), "entity") for m in pattern.finditer(block)]
+    date_spans = [(m.start(), m.end(), m.group(0), "date") for m in _DATE_RE.finditer(block)]
     taken = [(s, e) for s, e, _, _ in date_spans]
-    for m in _YEAR_RE.finditer(sentence):
+    for m in _YEAR_RE.finditer(block):
         if not any(s <= m.start() < e for s, e in taken):
             spans.append((m.start(), m.end(), m.group(0), "year"))
     spans.extend(date_spans)
     spans.sort()
+    if len(spans) < 2:
+        return []
+    bounds = [m.start() for m in _SENT_SPLIT.finditer(block)]
     out = []
+    bi = 0
     for (s1, e1, sur1, k1), (s2, _e2, sur2, k2) in zip(spans, spans[1:]):
         if k1 != "entity":
             continue
-        gap = sentence[e1:s2].strip()
+        # any sentence boundary in (e1, s2) splits the pair
+        while bi < len(bounds) and bounds[bi] <= e1:
+            bi += 1
+        if bi < len(bounds) and bounds[bi] < s2:
+            continue
+        gap = block[e1:s2].strip()
         hit = PHRASE_TO_PRED.get(gap)
         if hit is None:
             continue
@@ -74,9 +90,8 @@ def extract_surface_triples(
                 if not text:
                     continue
                 for block in text.split("\n"):
-                    for sent in _SENT_SPLIT.split(block):
-                        for s, p, o, k in _sentence_triples(sent, pattern):
-                            rows.append((url, s, p, o, k))
+                    for s, p, o, k in _block_triples(block, pattern):
+                        rows.append((url, s, p, o, k))
             yield pd.DataFrame(
                 rows, columns=["url", "subj_surface", "pred", "obj_surface", "obj_kind"]
             )

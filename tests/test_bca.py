@@ -150,15 +150,49 @@ def test_chain_closed_form(spark):
     assert got[0][2] == pytest.approx(0.081, abs=1e-12)
 
 
-def test_undirected_cycle_matches_sync_oracle(spark):
+def test_undirected_cycle_loop_matches_sync_oracle(spark):
+    """The level-synchronous DataFrame loop == the sync oracle exactly."""
     nodes, edf = _graph_dfs(spark, CYCLE, 3)
-    res = bca_cooccurrence(nodes, edf, ALPHA, EPS, directed=False, normalize=NORM_NONE)
+    res = bca_cooccurrence(
+        nodes, edf, ALPHA, EPS, directed=False, normalize=NORM_NONE, strategy="loop"
+    )
     got = _collect_bcvs(res.cooc)
     for root in range(3):
         want = sync_bca(CYCLE, root, ALPHA, EPS, "both")
         assert set(got[root]) == set(want)
         for j, v in want.items():
             assert got[root][j] == pytest.approx(v, abs=1e-9)
+
+
+def test_undirected_cycle_broadcast_matches_seq_oracle(spark):
+    """The broadcast fast path == the reference's sequential queue exactly
+    (TreeMap pop order), including on cyclic graphs where the sync loop's
+    merge timing differs."""
+    nodes, edf = _graph_dfs(spark, CYCLE, 3)
+    res = bca_cooccurrence(
+        nodes, edf, ALPHA, EPS, directed=False, normalize=NORM_NONE, strategy="broadcast"
+    )
+    got = _collect_bcvs(res.cooc)
+    for root in range(3):
+        want = seq_bca(CYCLE, root, ALPHA, EPS, "both")
+        assert set(got[root]) == set(want)
+        for j, v in want.items():
+            assert got[root][j] == pytest.approx(v, abs=1e-9)
+
+
+def test_strategies_agree_on_weighted_fork(spark):
+    nodes, edf = _graph_dfs(spark, FORK, 4)
+    a = _collect_bcvs(
+        bca_cooccurrence(nodes, edf, ALPHA, EPS, directed=True, strategy="loop").cooc
+    )
+    b = _collect_bcvs(
+        bca_cooccurrence(nodes, edf, ALPHA, EPS, directed=True, strategy="broadcast").cooc
+    )
+    assert set(a) == set(b)
+    for root in a:
+        assert set(a[root]) == set(b[root])
+        for j in a[root]:
+            assert a[root][j] == pytest.approx(b[root][j], abs=1e-9)
 
 
 def test_paint_conservation(spark):

@@ -16,7 +16,7 @@ from graph_embeddings_spark.extract.mentions import (
 )
 from graph_embeddings_spark.extract.text import latest_pages
 from graph_embeddings_spark.extract.triples import (
-    _sentence_triples,
+    _block_triples,
     extract_surface_triples,
     precision_recall,
     triples_from_pages,
@@ -24,18 +24,18 @@ from graph_embeddings_spark.extract.triples import (
 from graph_embeddings_spark.extract.mentions import alias_regex
 
 
-def test_sentence_triples_unit():
+def test_block_triples_unit():
     pattern = alias_regex(["alice smith", "vertex systems", "smith"])
-    got = _sentence_triples("Alice Smith works at Vertex Systems.", pattern)
+    got = _block_triples("Alice Smith works at Vertex Systems.", pattern)
     assert got == [("Alice Smith", "works_at", "Vertex Systems", "entity")]
-    got = _sentence_triples("Vertex Systems was founded in 1987.", pattern)
+    got = _block_triples("Vertex Systems was founded in 1987.", pattern)
     assert got == [("Vertex Systems", "founded_year", "1987", "literal")]
-    got = _sentence_triples("Alice Smith was born on 1955-03-02.", pattern)
+    got = _block_triples("Alice Smith was born on 1955-03-02.", pattern)
     assert got == [("Alice Smith", "born_on", "1955-03-02", "literal")]
     # noise: no predicate phrase between spans
-    assert _sentence_triples("Alice Smith met Vertex Systems.", pattern) == []
+    assert _block_triples("Alice Smith met Vertex Systems.", pattern) == []
     # longest match wins at the same start
-    got = _sentence_triples("Smith works at Vertex Systems.", pattern)
+    got = _block_triples("Smith works at Vertex Systems.", pattern)
     assert got[0][0] == "Smith"
 
 
