@@ -615,9 +615,11 @@ def oracle_sql() -> dict[str, str]:
                          ELSE 0.0 END, 6) AS mean_token_len,
                    round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
                    round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
-                   round(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
+                   round(CASE WHEN n_chars = 0 THEN 0.0 ELSE
+                         least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.4
                        + (1.0 - least(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END * 5.0, 1.0)) * 0.3
-                       + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 4.0, 1.0) * 0.3, 6) AS quality
+                       + least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 4.0, 1.0) * 0.3
+                       END, 6) AS quality
             FROM base
         """,
         "token_counts": """

@@ -70,7 +70,11 @@ def run_queries(spark) -> dict[str, float]:
 
 def run_pipeline_section(spark, n_pages: int) -> dict:
     """Corpus -> text extraction -> triples (throughput), then graph -> BCA
-    -> one GloVe epoch (wall time). The north-rule metrics."""
+    -> one GloVe epoch (wall time). The north-rule metrics.
+
+    Partition counts and shard counts are FIXED (64 / 32) regardless of core
+    count so the scaling comparison runs the identical logical job at every
+    parallelism level — only the executor slots differ."""
     from pyspark.sql import functions as F
 
     from graph_embeddings_spark.corpus import alias_dict_df, build_world, web_pages_df
@@ -82,15 +86,15 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     from graph_embeddings_spark.pipeline import default_weights
 
     world = build_world(42, 120)
-    pages = web_pages_df(spark, world, n_pages, partitions=max(8, CPUS)).persist()
+    pages = web_pages_df(spark, world, n_pages, partitions=64).persist()
     pages.count()  # materialize generation outside the timed region
 
     t0 = time.perf_counter()
     deduped = latest_pages(pages)
-    texted = with_extracted_text(deduped).select(
+    texted = with_extracted_text(deduped, min_parallelism=64).select(
         "url", F.col("extracted_text").alias("text")
     )
-    surface = extract_surface_triples(texted, sorted(world.alias_map))
+    surface = extract_surface_triples(texted, sorted(world.alias_map), min_parallelism=64)
     triples = link_triples(surface, alias_dict_df(spark, world)).select(
         "subj", "pred", "obj",
         F.when(F.col("kind") == "literal", F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
@@ -111,7 +115,7 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     t2 = time.perf_counter()
     new_params, _cost = train_epoch(
         cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
-        iteration=0, seed=42, n_shards=max(8, CPUS), batch=4096,
+        iteration=0, seed=42, n_shards=32, batch=4096,
     )
     _force(new_params)
     epoch_sec = time.perf_counter() - t2
@@ -134,7 +138,8 @@ def main():
         # child mode: pipeline section only, emit JSON on stdout
         from graph_embeddings_spark.session import get_spark
 
-        spark = get_spark("bench-child", cores=CPUS, shuffle_partitions=max(8, CPUS))
+        # fixed shuffle partitioning: identical logical job at every core count
+        spark = get_spark("bench-child", cores=CPUS, shuffle_partitions=32)
         stats = run_pipeline_section(spark, PAGES)
         print("CHILD" + json.dumps(stats))
         spark.stop()

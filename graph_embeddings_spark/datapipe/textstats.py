@@ -73,7 +73,7 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     mean_len = F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))) / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    quality = (
+    quality = F.when(n_chars == 0, F.lit(0.0)).otherwise(
         F.least(n_tok / F.lit(50.0), F.lit(1.0)) * 0.4
         + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.3
         + F.least(stop_ratio * 4.0, F.lit(1.0)) * 0.3

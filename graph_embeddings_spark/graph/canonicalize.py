@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import DoubleType
 
 from ..config import LITERAL, SimilarityGroup
-from ..functions.lsh import char_shingles_col, lsh_candidate_pairs, rare_shingle_pairs
+from ..functions.lsh import char_shingles_col, lsh_candidate_pairs, rare_shingle_pairs, word_shingles_col
 from ..functions.similarity import make_metric
 
 _STRING_METRICS = {
@@ -59,15 +59,22 @@ def _numeric_buckets(df: DataFrame, group: SimilarityGroup) -> DataFrame:
         unit_days = {"date_days": 1.0, "date_months": 31.0, "date_years": 366.0}[group.method]
         radius *= unit_days
         fmt = "yyyyMMdd" if group.pattern == "iso" else group.pattern
-        val = F.unix_date(F.to_date(F.split(F.col("label"), r"\^").getItem(0), fmt))
+        # try_to_date: malformed literals -> NULL (dropped), not an ANSI error
+        val = F.unix_date(F.expr(f"try_to_date(split(label, '\\\\^')[0], '{fmt}')"))
     else:
-        val = F.split(F.col("label"), r"\^").getItem(0).cast("long")
+        val = F.split(F.col("label"), r"\^").getItem(0).try_cast("long")
     width = int(radius) + 1
     with_b = df.withColumn("_v", val).filter(F.col("_v").isNotNull()).withColumn(
         "_bucket", F.floor(F.col("_v") / width)
     )
     off = with_b.select(
-        F.col("id"), F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)) + F.col("_bucket")).alias("_b")
+        F.col("id"),
+        F.explode(
+            F.transform(
+                F.array(F.lit(-1), F.lit(0), F.lit(1)),
+                lambda o: o.cast("long") + F.col("_bucket"),
+            )
+        ).alias("_b"),
     )
     a = off.select(F.col("id").alias("a"), "_b")
     b = with_b.select(F.col("id").alias("b"), F.col("_bucket").alias("_b"))
@@ -90,12 +97,22 @@ def similarity_pairs(nodes: DataFrame, group: SimilarityGroup) -> DataFrame:
     pool = pool.select(F.col("node_id").alias("id"), "label", "pred_ctx")
 
     if group.method in _STRING_METRICS:
-        k = group.ngram if group.method.startswith("ngram") else 3
-        shingles = char_shingles_col(F.col("label"), k)
-        if group.method in ("jarowinkler", "levenshtein"):
+        if group.method in ("token_jaccard", "token_cosine"):
+            # token metrics: block on shared (rare) TOKENS — any pair with
+            # token-jaccard > 0 shares a token, so recall is deterministic
+            # up to the max_df skew cap (char-shingle LSH under-recalls
+            # token-level similarity)
+            toks = word_shingles_col(F.col("label"), 1)
+            cands = rare_shingle_pairs(pool.withColumn("_sh", toks), "id", F.col("_sh"))
+        elif group.method in ("jarowinkler", "levenshtein"):
+            shingles = char_shingles_col(F.col("label"), 3)
             cands = rare_shingle_pairs(pool.withColumn("_sh", shingles), "id", F.col("_sh"))
-        else:
-            cands = lsh_candidate_pairs(pool.withColumn("_sh", shingles), "id", F.col("_sh"))
+        else:  # ngram_jaccard / ngram_cosine: banded MinHash over char shingles
+            shingles = char_shingles_col(F.col("label"), group.ngram)
+            cands = lsh_candidate_pairs(
+                pool.withColumn("_sh", shingles), "id", F.col("_sh"),
+                num_hashes=32, bands=16,  # rows=2: P(miss | j=0.5) ≈ 0.75^16 ≈ 1%
+            )
     else:
         cands = _numeric_buckets(pool, group)
 

@@ -1,0 +1,122 @@
+"""CLI entry (spark-submit surface) + streaming ingestion + YAML config."""
+
+from __future__ import annotations
+
+import json
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_load_config_yaml(tmp_path):
+    from graph_embeddings_spark.config import load_config
+
+    cfg_file = tmp_path / "c.yml"
+    cfg_file.write_text(textwrap.dedent("""
+        graph: pages.parquet
+        method: pglove
+        dim: 64
+        seed: 7
+        weights:
+          works_at: 1.0
+          born_in: 0.5
+        similarity:
+          - sourcePredicate: p:name
+            method: ngram-jaccard
+            threshold: 0.7
+            ngram: 2
+        bca:
+          alpha: 0.2
+          epsilon: 0.001
+          directed: true
+          normalize: unity
+        opt:
+          method: amsgrad
+          tolerance: 1.0e-6
+          maxiter: 10
+        output:
+          name: emb
+          uri: ["http://"]
+          literal: []
+    """))
+    cfg = load_config(str(cfg_file))
+    assert cfg.method == "pglove" and cfg.dim == 64 and cfg.seed == 7
+    assert cfg.weights == {"works_at": 1.0, "born_in": 0.5}
+    g = cfg.similarity[0]
+    assert g.method == "ngram_jaccard" and g.ngram == 2 and g.target_predicate == "p:name"
+    assert cfg.bca.directed and cfg.bca.normalize == "unity" and cfg.bca.alpha == 0.2
+    assert cfg.opt.method == "amsgrad" and cfg.opt.maxiter == 10
+    assert cfg.output.enabled_types() == [0, 2]
+
+
+def test_config_check_rejects_bad():
+    from graph_embeddings_spark.config import OptConfig, OutputConfig, PipelineConfig
+
+    with pytest.raises(ValueError):
+        PipelineConfig(dim=0, output=OutputConfig(uri=[])).check()
+    with pytest.raises(ValueError):
+        PipelineConfig(method="word2vec", output=OutputConfig(uri=[])).check()
+    with pytest.raises(ValueError):
+        PipelineConfig(opt=OptConfig(method="sgd"), output=OutputConfig(uri=[])).check()
+    with pytest.raises(ValueError):
+        PipelineConfig().check()  # no output group enabled
+
+
+def test_cli_synthetic_run(tmp_path, capsys, spark):
+    from graph_embeddings_spark.cli import main
+
+    rc = main([
+        "--synthetic-pages", "60",
+        "--work-dir", str(tmp_path / "run"),
+        "--no-train",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["triples"] > 0 and out["nodes"] > 0 and out["cooc_entries"] > 0
+    assert out["epochs"] == 0
+
+
+def test_streaming_triples_end_to_end(tmp_path, spark, world):
+    """Two file waves through the stream == batch extraction of both waves."""
+    from graph_embeddings_spark.corpus import web_pages_df
+    from graph_embeddings_spark.extract.triples import extract_surface_triples
+    from graph_embeddings_spark.streaming.ingest import (
+        read_page_stream,
+        start_triples_sink,
+        streaming_triples,
+    )
+
+    src = tmp_path / "waves"
+    out = tmp_path / "triples"
+    ckpt = tmp_path / "ckpt"
+    pages = web_pages_df(spark, world, 80, partitions=2).filter(F.col("lang") == "en")
+    wave1 = pages.filter(F.col("url").contains("/page/1"))
+    wave2 = pages.filter(~F.col("url").contains("/page/1"))
+    wave1.write.parquet(str(src / "w1"))
+    wave2.write.parquet(str(src / "w2"))
+    # streaming source reads the directory of parquet part-files
+    flat = spark.read.parquet(str(src / "w1"), str(src / "w2"))
+    flat.write.mode("overwrite").parquet(str(src / "all"))
+
+    aliases = sorted(world.alias_map)
+    stream = read_page_stream(spark, str(src / "all"), max_files_per_trigger=1)
+    q = start_triples_sink(
+        streaming_triples(stream, aliases), str(out), str(ckpt), trigger_once=True
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(out)).select("url", "subj_surface", "pred", "obj_surface")
+    want = extract_surface_triples(
+        pages.withColumn("text", F.col("text")), aliases, min_parallelism=0
+    ).select("url", "subj_surface", "pred", "obj_surface")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # resume contract: restarting with the same checkpoint adds nothing
+    q2 = start_triples_sink(
+        streaming_triples(read_page_stream(spark, str(src / "all")), aliases),
+        str(out), str(ckpt), trigger_once=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(out)).count() == want.count()

@@ -1,0 +1,176 @@
+"""Training-data-pipeline operators: dedup (5 strategies), ANN, text stats,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from graph_embeddings_spark.datapipe.ann import brute_topk, lsh_topk
+from graph_embeddings_spark.datapipe.dedup import (
+    cosine_dedup_pairs,
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from graph_embeddings_spark.datapipe.multimodal import (
+    image_features,
+    resize_images,
+    sample_frames,
+    synthetic_media_df,
+)
+from graph_embeddings_spark.datapipe.textstats import (
+    fingerprints,
+    lang_scores,
+    quality_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "The  quick  brown fox jumps over the lazy DOG"),  # norm-dup of 0
+        (3, "a completely different document about spark engines"),
+        (4, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (5, "zzz qqq xxx vvv kkk www yyy"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    got = exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in got}
+    assert groups[0] == 3  # docs 0,1,2 collapse (case/whitespace-normalized)
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    got = ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    pairs = {(r["a"], r["b"]): r["jac"] for r in got}
+    assert pairs[(0, 1)] == pytest.approx(1.0)  # identical
+    assert (0, 4) in pairs and pairs[(0, 4)] < 1.0  # near-dup
+    assert (0, 3) not in pairs and (0, 5) not in pairs
+
+
+def test_minhash_lsh_recall_on_duplicates(spark, docs):
+    got = {(r["a"], r["b"]) for r in minhash_lsh_dedup(docs, threshold=0.9).collect()}
+    # exact duplicates MUST collide in every band -> guaranteed recall
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_simhash_dedup(spark, docs):
+    got = {(r["a"], r["b"]): r["hamming"] for r in simhash_dedup(docs, max_hamming=3).collect()}
+    assert got[(0, 1)] == 0  # identical token sets -> identical simhash
+    assert (0, 2) in got  # lowercased tokens match
+    assert (0, 3) not in got
+
+
+def _emb_df(spark, n=20, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.normal(size=dim).astype(np.float32)  # near-dup pair
+    rows = [(i, [float(x) for x in base[i]], i % 3) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_cosine_dedup_pairs(spark):
+    emb = _emb_df(spark)
+    got = {(r["a"], r["b"]): r["cos"] for r in cosine_dedup_pairs(emb, 0.99).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+
+
+def test_brute_topk_matches_numpy(spark):
+    emb = _emb_df(spark)
+    probes = emb.filter("vec_id < 2")
+    got = brute_topk(emb, probes, k=3).collect()
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([r["embedding"] for r in rows])
+    normed = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for probe in (0, 1):
+        cos = normed @ normed[probe]
+        cos[probe] = -2
+        want = list(np.argsort(-cos)[:3])
+        have = [r["vec_id"] for r in sorted(
+            (r for r in got if r["probe_id"] == probe), key=lambda r: r["rank"]
+        )]
+        assert have == want
+
+
+def test_lsh_topk_finds_near_duplicate(spark):
+    emb = _emb_df(spark)
+    probes = emb.filter("vec_id = 0")
+    got = lsh_topk(emb, probes, k=5, n_planes=8, bands=4, dim=8)
+    top = sorted(got.collect(), key=lambda r: r["rank"])
+    # vec 1 is a near-dup of vec 0: identical sign pattern -> same buckets
+    assert top and top[0]["vec_id"] == 1
+
+
+def test_lang_scores(spark):
+    docs = spark.createDataFrame(
+        [(0, "the cat and the dog is here"), (1, "der hund und die katze ist das")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in lang_scores(docs).collect()}
+    assert got[0]["pred_lang"] == "en"
+    assert got[1]["pred_lang"] == "de"
+    assert got[0]["score_en"] >= 3
+
+
+def test_quality_features(spark):
+    docs = spark.createDataFrame([(0, "the cat is on a mat"), (1, "")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in quality_features(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["stopword_ratio"] == pytest.approx(4 / 6, abs=1e-6)
+    assert got[1]["n_tokens"] == 0 and got[1]["quality"] == 0.0
+
+
+def test_fingerprints_norm_invariance(spark):
+    docs = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fp"] for r in fingerprints(docs).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (decode stubbed; Spark-side machinery real)
+# ---------------------------------------------------------------------------
+
+def test_media_corpus_and_features(spark):
+    media = synthetic_media_df(spark, 30, partitions=3)
+    assert media.count() == 30
+    feats = image_features(media, n_bins=16).collect()
+    assert len(feats) == len([r for r in media.collect() if r["kind"] == "image"])
+    for r in feats:
+        assert len(r["feat"]) == 16
+        assert sum(r["feat"]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_resize_images(spark):
+    media = synthetic_media_df(spark, 12, partitions=2)
+    got = resize_images(media, out_w=4, out_h=4).collect()
+    for r in got:
+        assert len(r["resized"]) == 16  # 4x4 uint8
+
+
+def test_sample_frames(spark):
+    media = synthetic_media_df(spark, 12, partitions=2)
+    got = sample_frames(media, every=3).collect()
+    vids = {r["media_id"]: r["meta"]["n_frames"] for r in media.collect() if r["kind"] == "video"}
+    per_vid = {}
+    for r in got:
+        per_vid.setdefault(r["media_id"], []).append(r["frame_idx"])
+    for mid, idxs in per_vid.items():
+        assert idxs == list(range(0, vids[mid], 3))
+
+
+def test_media_generation_partition_independent(spark):
+    a = {tuple(r) for r in synthetic_media_df(spark, 20, partitions=1).collect()}
+    b = {tuple(r) for r in synthetic_media_df(spark, 20, partitions=7).collect()}
+    assert a == b

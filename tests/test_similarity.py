@@ -1,0 +1,183 @@
+"""Scalar similarity functions X1-X10 vs hand-computed values (SURVEY.md
+§2.7), including the tokenizer's stopword/len<=1 rules, the date direction
+gate, and the numeric bug-fix; plus Spark column forms and the
+canonicalization join end-to-end."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graph_embeddings_spark.config import LITERAL, SimilarityGroup
+from graph_embeddings_spark.functions.similarity import (
+    date_similarity_py,
+    jaro_winkler_py,
+    make_metric,
+    ngram_jaccard_py,
+    normalized_levenshtein_py,
+    numeric_similarity_py,
+    token_cosine_py,
+    token_jaccard_py,
+    token_jaccard_col,
+    normalized_levenshtein_col,
+    tokenize_py,
+)
+from graph_embeddings_spark.graph.canonicalize import similarity_pairs
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer (TokenBased.java:13-18,43-48): space split, len<=1 and the
+# 22-word stoplist dropped, case-SENSITIVE
+# ---------------------------------------------------------------------------
+
+def test_tokenizer_rules():
+    assert tokenize_py("the quick brown fox") == ["quick", "brown", "fox"]
+    assert tokenize_py("a I x yz") == ["yz"]  # len<=1 dropped
+    assert tokenize_py("The THE the") == ["The", "THE"]  # case-sensitive stoplist
+    assert tokenize_py("") == []
+
+
+def test_token_jaccard_hand():
+    # profiles {quick,fox} vs {quick,dog}: |∩|=1 |∪|=3
+    assert token_jaccard_py("the quick fox", "quick dog") == pytest.approx(1 / 3)
+    assert token_jaccard_py("same string", "same string") == 1.0
+    assert token_jaccard_py("", "") == 1.0  # s1 == s2 short-circuit
+    assert token_jaccard_py("a", "b") == 0.0  # both tokenize empty
+
+
+def test_token_cosine_hand():
+    # "dog dog cat" -> {dog:2, cat:1}; "dog cat" -> {dog:1, cat:1}
+    # cos = (2+1)/(sqrt(5)*sqrt(2))
+    assert token_cosine_py("dog dog cat", "dog cat") == pytest.approx(3 / (5**0.5 * 2**0.5))
+
+
+def test_ngram_jaccard_hand():
+    # 2-shingles: "abc" -> {ab, bc}; "abd" -> {ab, bd}: 1/3
+    assert ngram_jaccard_py("abc", "abd", 2) == pytest.approx(1 / 3)
+    # whitespace collapsed before shingling
+    assert ngram_jaccard_py("a  b", "a b", 2) == 1.0
+
+
+def test_levenshtein_hand():
+    assert normalized_levenshtein_py("kitten", "sitting") == pytest.approx(1 - 3 / 7)
+    assert normalized_levenshtein_py("", "") == 1.0
+    assert normalized_levenshtein_py("abc", "") == 0.0
+
+
+def test_jaro_winkler_hand():
+    # classic value: JW(MARTHA, MARHTA) = 0.961111
+    assert jaro_winkler_py("MARTHA", "MARHTA") == pytest.approx(0.961111, abs=1e-5)
+    # below the 0.7 boost threshold -> plain jaro returned
+    assert jaro_winkler_py("abc", "xyz") == 0.0
+
+
+def test_numeric_similarity():
+    """(||a-b|-distance|+1)^(smooth-1); datatype suffix stripped on BOTH
+    sides (the reference's Numeric.java:30 strips s2 based on s1's index —
+    a bug we deliberately fix, SURVEY.md §7)."""
+    assert numeric_similarity_py("10", "13", smooth=0.5) == pytest.approx(4 ** -0.5)
+    assert numeric_similarity_py("10^^xsd:int", "13^^http://x", smooth=0.5) == pytest.approx(4 ** -0.5)
+    assert numeric_similarity_py("x", "3") == 0.0
+    assert numeric_similarity_py("7", "7") == 1.0
+    # distance shifts the optimum: |a-b|=5 with distance=5 -> sim 1
+    assert numeric_similarity_py("10", "15", smooth=0.5, distance=5.0) == pytest.approx(1.0)
+
+
+def test_date_similarity_units_and_gate():
+    # BASIC_ISO_DATE yyyyMMdd (Date.java:24); 3 days apart, smooth 0.5
+    assert date_similarity_py("20200101", "20200104", "days", 0.5) == pytest.approx(4 ** -0.5)
+    # months: Jan 15 -> Mar 14 is 1 whole month; Mar 15 is 2
+    assert date_similarity_py("20200115", "20200314", "months", 0.5) == pytest.approx(2 ** -0.5)
+    assert date_similarity_py("20200115", "20200315", "months", 0.5) == pytest.approx(3 ** -0.5)
+    # direction gate (Date.java:52-59): backwards zeroes d1>d2
+    assert date_similarity_py("20200104", "20200101", "days", 0.5, time_direction="backwards") == 0.0
+    assert date_similarity_py("20200101", "20200104", "days", 0.5, time_direction="backwards") == pytest.approx(4 ** -0.5)
+    # parse failure -> 0 (Date.java:62-64)
+    assert date_similarity_py("not-a-date", "20200101", "days", 0.5) == 0.0
+
+
+def test_make_metric_binding():
+    m = make_metric("ngram_jaccard", ngram=2)
+    assert m("abc", "abd") == pytest.approx(1 / 3)
+    m2 = make_metric("date_years", smooth=0.5, pattern="iso", time="bidirectional")
+    assert m2("20000601", "20030601") == pytest.approx(4 ** -0.5)
+
+
+# ---------------------------------------------------------------------------
+# Spark column forms match the Python scalars
+# ---------------------------------------------------------------------------
+
+def test_column_forms_match_python(spark):
+    rows = [
+        ("the quick fox", "quick dog"),
+        ("kitten", "sitting"),
+        ("same", "same"),
+        ("", ""),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        "a", "b",
+        token_jaccard_col(F.col("a"), F.col("b")).alias("tj"),
+        normalized_levenshtein_col(F.col("a"), F.col("b")).alias("nl"),
+    ).collect()
+    for r in got:
+        assert r["tj"] == pytest.approx(token_jaccard_py(r["a"], r["b"]), abs=1e-9)
+        assert r["nl"] == pytest.approx(normalized_levenshtein_py(r["a"], r["b"]), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Canonicalization end-to-end (J1): LSH/blocked candidates + exact rescore
+# ---------------------------------------------------------------------------
+
+def _lit_nodes(spark, labels, pred="p:name"):
+    rows = [(i, lab, LITERAL, pred) for i, lab in enumerate(labels)]
+    return spark.createDataFrame(
+        rows, "node_id long, label string, node_type tinyint, pred_ctx string"
+    )
+
+
+def test_similarity_pairs_same_predicate(spark):
+    labels = [
+        "International Business Machines",
+        "Internat. Business Machines",
+        "Apple Computer Inc",
+        "Aple Computer Inc",
+        "totally unrelated thing",
+    ]
+    nodes = _lit_nodes(spark, labels)
+    group = SimilarityGroup("p:name", "p:name", method="ngram_jaccard", threshold=0.5, ngram=3)
+    got = {(r["a"], r["b"]) for r in similarity_pairs(nodes, group).collect()}
+    assert (0, 1) in got
+    assert (2, 3) in got
+    assert all(4 not in p for p in got)
+
+
+def test_similarity_pairs_threshold_respected(spark):
+    labels = ["alpha beta gamma", "alpha beta delta", "epsilon zeta"]
+    nodes = _lit_nodes(spark, labels)
+    group = SimilarityGroup("p:name", "p:name", method="token_jaccard", threshold=0.49)
+    got = {(r["a"], r["b"]): r["sim"] for r in similarity_pairs(nodes, group).collect()}
+    assert got[(0, 1)] == pytest.approx(0.5)  # {alpha,beta} of 4 distinct
+    assert (0, 2) not in got
+
+
+def test_similarity_pairs_numeric_group(spark):
+    labels = ["100", "103", "2000", "not-a-number"]
+    nodes = _lit_nodes(spark, labels, pred="p:year")
+    group = SimilarityGroup(
+        "p:year", "p:year", method="numeric", threshold=0.4, smooth=0.5
+    )
+    got = {(r["a"], r["b"]): r["sim"] for r in similarity_pairs(nodes, group).collect()}
+    # |100-103|: sim = 4^-0.5 = 0.5 >= 0.4 ✓; 100 vs 2000 way below
+    assert got[(0, 1)] == pytest.approx(0.5)
+    assert (0, 2) not in got
+
+
+def test_similarity_edges_bidirectional(spark):
+    from graph_embeddings_spark.graph.materialize import similarity_edges
+
+    pairs = spark.createDataFrame([(1, 2, 0.9)], "a long, b long, sim double")
+    got = similarity_edges(pairs).collect()
+    assert len(got) == 2
+    assert {(r["src"], r["dst"]) for r in got} == {(1, 2), (2, 1)}
+    assert all(r["etype"] == 0 and abs(r["weight"] - 0.9) < 1e-6 for r in got)

@@ -1,0 +1,110 @@
+"""Scaling-efficiency evidence (north_rule two-cluster-size stand-in).
+
+Runs the pipeline section (triple extraction + BCA + one GloVe epoch) in
+fresh subprocess JVMs at multiple local[N] core counts, ALTERNATING the
+configs over `trials` rounds and keeping the best trial per config — the
+sandbox host is shared with noisy co-tenants, so best-of-N under alternation
+is the honest estimator (both configs see the same load distribution).
+
+Writes BENCH/BASELINE.md and prints a JSON summary.
+
+Usage: python tools/scaling_bench.py [trials] [pages]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORES = [2, 8, 32]
+
+
+def run_child(cores: int, pages: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_BENCH_CHILD="1",
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_PAGES=str(pages),
+        PYTHONPATH=REPO,
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")]
+    if not lines:
+        raise RuntimeError(f"child local[{cores}] produced no output: {proc.stderr[-2000:]}")
+    return json.loads(lines[-1][5:])
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    pages = int(sys.argv[2]) if len(sys.argv) > 2 else 10000
+    best: dict[int, dict] = {}
+    all_runs: dict[int, list] = {c: [] for c in CORES}
+    for t in range(trials):
+        for cores in CORES:
+            stats = run_child(cores, pages)
+            all_runs[cores].append(stats)
+            cur = best.get(cores)
+            if cur is None or stats["triples_per_sec"] > cur["triples_per_sec"]:
+                best[cores] = stats
+            print(
+                f"trial {t} local[{cores}]: {stats['triples_per_sec']} triples/s, "
+                f"glove {stats['glove_epoch_sec']}s",
+                file=sys.stderr, flush=True,
+            )
+
+    def eff(lo, hi):
+        return round(best[hi]["triples_per_sec"] / ((hi // lo) * best[lo]["triples_per_sec"]), 3)
+
+    summary = {
+        "pages": pages,
+        "trials": trials,
+        "best": {f"local[{c}]": best[c] for c in CORES},
+        "efficiency_2_to_8": eff(2, 8),
+        "efficiency_8_to_32": eff(8, 32),
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("# BENCH — measured baseline + scaling evidence\n\n")
+        f.write(
+            "Pipeline section: synthetic corpus generation (untimed) -> dedup ->\n"
+            "HTML->text extraction -> mention/triple extraction + linking (timed:\n"
+            "triples/sec) -> graph materialize + BCA co-occurrence -> one GloVe\n"
+            f"AdaGrad epoch (dim 32). {pages} pages, seed 42. Best of {trials}\n"
+            "alternating trials per core count (shared host — alternation exposes\n"
+            "both configs to the same co-tenant load; see tools/scaling_bench.py).\n\n"
+        )
+        f.write("| cores | triples/sec | pages/sec | extract s | BCA s | GloVe epoch s |\n")
+        f.write("|---|---|---|---|---|---|\n")
+        for c in CORES:
+            b = best[c]
+            f.write(
+                f"| local[{c}] | {b['triples_per_sec']} | {b['pages_per_sec']} | "
+                f"{b['extract_sec']} | {b['bca_sec']} | {b['glove_epoch_sec']} |\n"
+            )
+        f.write(
+            f"\n**Scaling efficiency (throughput(4N) / (4 x throughput(N)))**:\n"
+            f"- 2 -> 8 cores: **{summary['efficiency_2_to_8']}**\n"
+            f"- 8 -> 32 cores: **{summary['efficiency_8_to_32']}**\n\n"
+            "All trials (triples/sec):\n\n"
+        )
+        for c in CORES:
+            f.write(f"- local[{c}]: {[r['triples_per_sec'] for r in all_runs[c]]}\n")
+        f.write(
+            "\nThe north_rule's >=0.8 criterion targets N vs 4N *executors* on a\n"
+            "real cluster; this sandbox evidences it with N vs 4N cores in one\n"
+            "JVM, where the shared host's co-tenant load is the main noise\n"
+            "source. The 2->8 pair is the cleaner signal (8 free cores are\n"
+            "available far more often than 32).\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
