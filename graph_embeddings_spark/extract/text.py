@@ -76,12 +76,22 @@ def with_extracted_text(
     return pages_df.withColumn(out_col, extract_text_udf(F.col(html_col)))
 
 
-def latest_pages(pages_df):
+def latest_pages(pages_df, target_partitions: int | None = None):
     """Keep the newest warc_ts row per url (FIXTURES.md §1 'latest wins').
 
     max_by avoids a window sort; ties broken deterministically by html bytes
     via the struct ordering on (warc_ts, html).
+
+    target_partitions sets the dedup shuffle's OWN partition count via an
+    explicit hash-repartition on url that the groupBy then reuses (Catalyst
+    elides the second exchange) — the downstream CPU-bound extraction UDFs
+    inherit this partitioning, so the whole extraction tier costs exactly
+    ONE shuffle of the html corpus. Without it, AQE coalesces the tiny
+    compressed shuffle down to 1-2 partitions and the Python stages
+    serialize (see extract_surface_triples.min_parallelism).
     """
+    if target_partitions:
+        pages_df = pages_df.repartition(target_partitions, "url")
     return (
         pages_df.groupBy("url")
         .agg(F.max(F.struct("warc_ts", "html", "text", "lang")).alias("m"))

@@ -111,8 +111,11 @@ def run_pipeline(
 
     # -- load + extract (graft surface; byte parity gated elsewhere) --------
     def build_pages():
-        deduped = latest_pages(pages)
-        return with_extracted_text(deduped).select(
+        # one shuffle for the whole extraction tier: the dedup exchange also
+        # sets the Python-stage parallelism (see extract.text.latest_pages)
+        target = spark.sparkContext.defaultParallelism * 2
+        deduped = latest_pages(pages, target_partitions=target)
+        return with_extracted_text(deduped, min_parallelism=0).select(
             "url", "warc_ts", "lang", F.col("extracted_text").alias("text")
         )
 

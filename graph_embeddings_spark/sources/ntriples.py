@@ -1,0 +1,85 @@
+"""N-Triples source (S1, SURVEY.md §2.1): RDF lines -> triples DataFrame.
+
+The reference loads any RDF serialization through Jena into an in-heap
+Model (util/read/JenaReader.java:21-42). Spark-side we parse the *line-
+oriented* N-Triples/N-Quads-lite subset with pure column regexes — one
+narrow map over `spark.read.text`, no Python, fully parallel over line
+splits of arbitrarily large files. Richer serializations (Turtle, RDF/XML)
+would use a mapInPandas rdflib parser per file — same output contract.
+
+Output schema matches the engine's triple world (§1.1):
+    triples(subj string, pred string, obj string, obj_kind tinyint)
+    obj_kind: 0=URI, 1=BLANK, 2=LITERAL  (NodeInfo.java:8-34)
+
+Semantics preserved:
+  * URIs lose their angle brackets; blank nodes keep the `_:` prefix.
+  * literal objects keep their LEXICAL FORM only — quotes, language tags
+    and ^^datatype suffixes stripped (F4: the reference takes
+    `n.toString(false)`, Rdf2GrphConverter.java:103,223; datatype-aware
+    similarity metrics re-split on '^' downstream, Numeric.java:29-33).
+  * comment/blank lines dropped; malformed lines dropped (Jena would raise
+    — at corpus scale we drop-and-count instead; `parse_errors` exposes
+    the rejects so callers can fail loudly if they want parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_TRIPLE_RE = (
+    r"^\s*(<[^>]*>|_:\S+)\s+<([^>]*)>\s+"
+    r"(<[^>]*>|_:\S+|\"(?:[^\"\\]|\\.)*\"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)\s*\.\s*$"
+)
+
+
+def _strip_uri(c):
+    return F.regexp_replace(c, r"^<|>$", "")
+
+
+def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
+    """lines (one N-Triples statement per row) -> triples DF."""
+    line = F.col(col)
+    subj_raw = F.regexp_extract(line, _TRIPLE_RE, 1)
+    pred = F.regexp_extract(line, _TRIPLE_RE, 2)
+    obj_raw = F.regexp_extract(line, _TRIPLE_RE, 3)
+    ok = subj_raw != ""
+
+    obj_kind = (
+        F.when(obj_raw.startswith("<"), F.lit(0))
+        .when(obj_raw.startswith("_:"), F.lit(1))
+        .otherwise(F.lit(2))
+        .cast("tinyint")
+    )
+    # lexical form: drop closing quote + suffix, opening quote, unescape \" \\
+    lex = F.regexp_replace(obj_raw, r"\"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$", "")
+    lex = F.regexp_replace(lex, r"^\"", "")
+    lex = F.regexp_replace(lex, r"\\([\"\\])", r"$1")
+    obj = (
+        F.when(obj_raw.startswith("<"), _strip_uri(obj_raw))
+        .when(obj_raw.startswith("_:"), obj_raw)
+        .otherwise(lex)
+    )
+    subj = F.when(subj_raw.startswith("<"), _strip_uri(subj_raw)).otherwise(subj_raw)
+
+    return (
+        lines.filter(ok)
+        .select(
+            subj.alias("subj"),
+            pred.alias("pred"),
+            obj.alias("obj"),
+            obj_kind.alias("obj_kind"),
+        )
+    )
+
+
+def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Lines that are neither parseable, comments, nor blank — the
+    no-silent-drops report."""
+    line = F.col(col)
+    ok = F.regexp_extract(line, _TRIPLE_RE, 1) != ""
+    ignorable = (F.trim(line) == "") | F.trim(line).startswith("#")
+    return lines.filter(~ok & ~ignorable)
+
+
+def read_ntriples(spark, path: str) -> DataFrame:
+    return parse_ntriples(spark.read.text(path))

@@ -1,0 +1,64 @@
+"""N-Triples source parser (S1) — reference lexical-form semantics (F4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from graph_embeddings_spark.sources.ntriples import parse_errors, parse_ntriples
+
+LINES = [
+    '<http://ex/s1> <http://ex/p> <http://ex/o1> .',
+    '_:b0 <http://ex/p> "plain literal" .',
+    '<http://ex/s2> <http://ex/p2> "typed"^^<http://www.w3.org/2001/XMLSchema#string> .',
+    '<http://ex/s3> <http://ex/p2> "tagged"@en .',
+    '<http://ex/s4> <http://ex/p3> _:b1 .',
+    '<http://ex/s5> <http://ex/p3> "esc \\"q\\" and \\\\ done" .',
+    '# a comment line',
+    '',
+    'this is garbage',
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    df = spark.createDataFrame([(l,) for l in LINES], "value string")
+    return {
+        (r["subj"], r["pred"]): (r["obj"], r["obj_kind"])
+        for r in parse_ntriples(df).collect()
+    }, df
+
+
+def test_uri_and_blank_subjects(parsed):
+    got, _ = parsed
+    assert got[("http://ex/s1", "http://ex/p")] == ("http://ex/o1", 0)
+    assert got[("_:b0", "http://ex/p")] == ("plain literal", 2)
+    assert got[("http://ex/s4", "http://ex/p3")] == ("_:b1", 1)
+
+
+def test_literal_lexical_form(parsed):
+    """F4: quotes, @lang and ^^datatype stripped (n.toString(false))."""
+    got, _ = parsed
+    assert got[("http://ex/s2", "http://ex/p2")] == ("typed", 2)
+    assert got[("http://ex/s3", "http://ex/p2")] == ("tagged", 2)
+    assert got[("http://ex/s5", "http://ex/p3")] == ('esc "q" and \\ done', 2)
+
+
+def test_garbage_reported_not_silently_dropped(parsed):
+    _, df = parsed
+    errs = [r["value"] for r in parse_errors(df).collect()]
+    assert errs == ["this is garbage"]
+
+
+def test_roundtrip_through_materialize(spark):
+    """Parsed triples feed the graph stage unchanged (obj_kind int form)."""
+    from graph_embeddings_spark.graph.materialize import materialize_graph
+
+    df = spark.createDataFrame([(l,) for l in LINES], "value string")
+    triples = parse_ntriples(df)
+    nodes, edges, etypes = materialize_graph(
+        triples, {"http://ex/p": 1.0, "http://ex/p2": 0.5, "http://ex/p3": 2.0}
+    )
+    assert edges.count() == 6
+    # per-predicate literal identity: same literal under two predicates
+    lits = nodes.filter("node_type = 2")
+    assert lits.count() == 4  # plain/typed/tagged/escaped, each under one pred

@@ -1,0 +1,100 @@
+"""Property-based invariants (SURVEY.md §5.2), hypothesis-driven but batched:
+each example is a whole table so Spark runs once per example, not per row."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from graph_embeddings_spark.bca.cooc import normalize_bcvs
+from graph_embeddings_spark.graph.materialize import build_nodes
+from graph_embeddings_spark.sources.ntriples import parse_ntriples
+
+_slow = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_uri = st.text(alphabet="abcdefgh/:.", min_size=1, max_size=12).map(lambda s: f"http://x/{s}")
+_lit = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters='\n\r'),
+    min_size=0, max_size=20,
+)
+
+
+_obj = st.one_of(
+    st.tuples(st.just(False), _uri),
+    st.tuples(st.just(True), _lit),
+)
+
+
+@_slow
+@given(st.lists(st.tuples(_uri, _uri, _obj), min_size=1, max_size=60))
+def test_ntriples_roundtrip(spark, rows):
+    """format -> parse is the identity on (subj, pred, obj, kind)."""
+    def fmt(s, p, obj):
+        is_lit, o = obj
+        if is_lit:
+            esc = o.replace("\\", "\\\\").replace('"', '\\"')
+            return f'<{s}> <{p}> "{esc}" .'
+        return f"<{s}> <{p}> <{o}> ."
+
+    lines = [(fmt(*r),) for r in rows]
+    want = {(s, p, o, 2 if is_lit else 0) for s, p, (is_lit, o) in rows}
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["obj_kind"])
+        for r in parse_ntriples(spark.createDataFrame(lines, "value string")).collect()
+    }
+    assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(_uri, st.sampled_from(["p1", "p2", "p3"]), _lit),
+        min_size=1, max_size=40,
+    )
+)
+def test_node_id_bijective_and_consecutive(spark, rows):
+    """A1: ids are a bijection onto [0, n); same (label, type, pred_ctx)
+    never gets two ids; literals split per predicate."""
+    triples = spark.createDataFrame(
+        [(s, p, o, 2) for s, p, o in rows], "subj string, pred string, obj string, obj_kind int"
+    )
+    nodes = build_nodes(triples).collect()
+    ids = sorted(r["node_id"] for r in nodes)
+    assert ids == list(range(len(nodes)))
+    keys = {(r["label"], r["node_type"], r["pred_ctx"]) for r in nodes}
+    assert len(keys) == len(nodes)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),  # root
+            st.integers(0, 30),  # node
+            st.floats(1e-4, 10.0, allow_nan=False, allow_subnormal=False),
+        ),
+        min_size=2, max_size=50, unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_unity_normalization_sums_to_one(spark, entries):
+    """toUnity: per-root non-root entries sum to 1 - k*1e-6 (BCV.java:64-70)."""
+    df = spark.createDataFrame(
+        [(r, n, float(x)) for r, n, x in entries], "i long, j long, x double"
+    )
+    out = normalize_bcvs(df, "unity")
+    sums = {
+        r["i"]: (r["s"], r["k"])
+        for r in out.groupBy("i").agg(F.sum("x").alias("s"), F.count("*").alias("k")).collect()
+    }
+    nonroot = {}
+    for r, n, x in entries:
+        if r != n:
+            nonroot[r] = nonroot.get(r, 0) + 1
+    for root, k in nonroot.items():
+        s, kk = sums[root]
+        assert kk == k
+        assert abs(s - (1.0 - k * 1e-6)) < 1e-9
