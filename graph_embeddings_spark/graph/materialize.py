@@ -58,11 +58,64 @@ def node_kind_expr():
     )
 
 
+def assign_consecutive_ids(
+    df: DataFrame, order_cols: list, id_col: str = "node_id"
+) -> DataFrame:
+    """Deterministic consecutive ids [0, n) in global sort order WITHOUT a
+    single-task global window: range-partition on the sort key (parallel
+    sort), number within each partition, then add per-partition offsets
+    (one tiny driver-side cumulative sum). The ids are a pure function of
+    the global sort order — range boundaries only choose split points, so
+    the result is identical at any parallelism (the resumability/stability
+    contract of SURVEY.md §4.4)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, IntegerType, StructField, StructType
+
+    ranged = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("_pid", IntegerType()), StructField("_rn", LongType())]
+    )
+
+    def number(pdf_iter):
+        # one mapInPandas invocation == one partition; batches arrive in
+        # partition order, so a running counter numbers the partition
+        # without any extra exchange
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        n = 0
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            pdf["_pid"] = pid
+            pdf["_rn"] = pd.RangeIndex(n + 1, n + 1 + len(pdf)).astype("int64")
+            n += len(pdf)
+            yield pdf
+
+    local = ranged.mapInPandas(number, out_schema).persist()
+    counts = {r["_pid"]: r["c"] for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    odf = F.broadcast(
+        spark.createDataFrame([(p, o) for p, o in offsets.items()], "_pid int, _off long")
+    )
+    return (
+        local.join(odf, "_pid")
+        .withColumn(id_col, F.col("_off") + F.col("_rn") - 1)
+        .drop("_pid", "_rn", "_off")
+    )
+
+
 def build_nodes(triples: DataFrame) -> DataFrame:
     """A1 — nodes(node_id long, label string, node_type tinyint, pred_ctx string).
 
     pred_ctx is NULL for URI/blank nodes (global identity) and the predicate
     for literal nodes (per-predicate identity, Rdf2GrphConverter.java:202-213).
+    Ids are consecutive in (node_type, label, pred_ctx) order via the
+    parallel range-sort assigner (no single-task global window).
     """
     subjects = triples.select(
         F.col("subj").alias("label"),
@@ -75,8 +128,10 @@ def build_nodes(triples: DataFrame) -> DataFrame:
         F.when(F.col("node_type") == LITERAL, F.col("pred")).otherwise(F.lit(None)).alias("pred_ctx"),
     )
     distinct_nodes = subjects.unionByName(objs).distinct()
-    w = Window.orderBy("node_type", "label", "pred_ctx")
-    return distinct_nodes.withColumn("node_id", F.row_number().over(w).cast("long") - 1)
+    return assign_consecutive_ids(
+        distinct_nodes,
+        [F.col("node_type"), F.col("label"), F.col("pred_ctx").asc_nulls_first()],
+    )
 
 
 def build_edge_types(triples: DataFrame) -> DataFrame:

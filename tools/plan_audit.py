@@ -1,0 +1,154 @@
+"""Generate PLANS.md: `explain`-level evidence that the hot paths have the
+physical plans we designed for (pushdown, pruning, broadcast, codegen,
+bounded exchanges). Run: python tools/plan_audit.py"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF = "/root/testdata/sf0.001"
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def summarize(plan: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"Exchange", plan)),
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "smj": len(re.findall(r"SortMergeJoin", plan)),
+        "python_evals": len(re.findall(r"EvalPython|MapInPandas|FlatMapCoGroupsInPandas", plan)),
+        "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
+    }
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=4, shuffle_partitions=8)
+    sections = []
+
+    def add(title, df, note):
+        plan = simple(df)
+        s = summarize(plan)
+        head = "\n".join(plan.splitlines()[:40])
+        sections.append(
+            f"## {title}\n\n{note}\n\n"
+            f"`exchanges={s['exchanges']} broadcast_joins={s['broadcast_joins']} "
+            f"sort_merge_joins={s['smj']} python_stages={s['python_evals']} "
+            f"codegen_stages={s['codegen_stages']}`\n\n"
+            f"```\n{head}\n```\n"
+        )
+
+    import __spark_entry__ as entry
+
+    # 1. pushdown + pruning
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "2001-09-01").select("l_orderkey", "l_quantity")
+    add(
+        "Parquet pushdown + column pruning",
+        q,
+        "Filter reaches the scan (`PushedFilters`), ReadSchema holds only the "
+        "2 projected columns of 11.",
+    )
+
+    # 2. F1 broadcast
+    from graph_embeddings_spark.graph.materialize import filter_by_predicate_weights
+
+    triples = spark.createDataFrame(
+        [("s", "works_at", "o", 0)], "subj string, pred string, obj string, obj_kind int"
+    )
+    add(
+        "F1 predicate-weight filter",
+        filter_by_predicate_weights(triples, {"works_at": 1.0}),
+        "Dictionary side broadcast — no shuffle of the triple stream.",
+    )
+
+    # 3. pricing summary (partial agg)
+    add(
+        "TPC-H Q1 shape (pricing_summary)",
+        entry.q_pricing_summary(spark, SF),
+        "HashAggregate partial -> exchange on group keys -> final: one "
+        "shuffle, map-side combine, all codegen.",
+    )
+
+    # 4. extraction tier: single exchange
+    from graph_embeddings_spark.corpus import build_world, web_pages_df
+    from graph_embeddings_spark.extract.text import latest_pages, with_extracted_text
+    from graph_embeddings_spark.extract.triples import extract_surface_triples
+
+    world = build_world(42, 120)
+    pages = web_pages_df(spark, world, 200, partitions=4)
+    texted = with_extracted_text(latest_pages(pages, target_partitions=8), min_parallelism=0)
+    surf = extract_surface_triples(
+        texted.selectExpr("url", "extracted_text as text"), sorted(world.alias_map),
+        min_parallelism=0,
+    )
+    add(
+        "Extraction tier (dedup -> text -> triples)",
+        surf,
+        "Exactly ONE exchange for the whole tier: the latest-wins dedup "
+        "shuffle doubles as the Python-stage partitioner (AQE's bytes-based "
+        "coalescing would otherwise collapse the CPU-bound scan to 1-2 tasks).",
+    )
+
+    # 5. minhash signatures JVM-side
+    from graph_embeddings_spark.functions.lsh import char_shingles_col, minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sig = minhash_signatures(
+        docs.select("doc_id", char_shingles_col(F.col("text")).alias("sh")),
+        "doc_id", F.col("sh"), num_hashes=16,
+    )
+    add(
+        "MinHash signatures",
+        sig,
+        "explode + min-aggregate over xxhash64: one shuffle, zero Python — "
+        "signature computation never leaves codegen.",
+    )
+
+    # 6. GloVe epoch
+    from graph_embeddings_spark.glove.train import init_params_df, train_epoch
+
+    cooc = spark.createDataFrame([(0, 1, 2.0), (1, 2, 1.0)], "i long, j long, x double")
+    nodes = spark.range(3).select(F.col("id").alias("node_id"))
+    params = init_params_df(nodes, 4, 42, "adagrad")
+    new_params, _ = train_epoch(
+        cooc, params, dim=4, method="adagrad", cost="glove", max_x=2.0,
+        iteration=0, seed=42, n_shards=2, batch=64,
+    )
+    add(
+        "GloVe epoch (shard train + hybrid combine)",
+        new_params,
+        "cogroup shuffle on shard key -> pandas kernel -> groupBy(node_id) "
+        "combine with JVM-side array aggregate (collect_list + zip_with) — "
+        "params never pass through the driver.",
+    )
+
+    with open(os.path.join(REPO, "PLANS.md"), "w") as f:
+        f.write(
+            "# PLANS — physical-plan audit of the hot paths\n\n"
+            "Generated by `python tools/plan_audit.py` (plan heads truncated "
+            "to 40 lines; the summary line counts the full plan).\n\n"
+        )
+        f.write("\n".join(sections))
+    print("wrote PLANS.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
