@@ -94,15 +94,40 @@ def minhash_lsh_dedup(
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
+    estimate_margin: float | None = 0.2,
 ) -> DataFrame:
     """-> (a, b, jac >= threshold): banded-MinHash candidates + exact
     rescore. The scale path: candidate generation touches each doc
-    O(num_hashes) times, never all-pairs."""
+    O(num_hashes) times, never all-pairs.
+
+    estimate_margin: before the (expensive) exact shingle-intersection
+    join, drop candidate pairs whose signature-estimated jaccard
+    (matching-minhash fraction — pure codegen over the k hash columns)
+    falls below threshold - margin. At k=32, P(est < θ-0.2 | true j = θ)
+    is ≈ 0.3%, so recall loss is negligible while near-dup-heavy corpora
+    (where LSH emits O(n²) candidates because the docs really are all
+    similar) skip the candidates×shingles blow-up. None disables (exact
+    recall within the LSH candidate set)."""
+    from ..functions.lsh import minhash_signatures
+
     with_sh = docs.select(
         F.col("doc_id").alias("id"),
         char_ngrams_distinct(F.col("text"), k).alias("_sh"),
     )
     cands = lsh_candidate_pairs(with_sh, "id", F.col("_sh"), num_hashes, bands)
+    if estimate_margin is not None:
+        sig = minhash_signatures(with_sh, "id", F.col("_sh"), num_hashes)
+        sa = sig.select(F.col("id").alias("a"), *[F.col(f"h{i}").alias(f"_ha{i}") for i in range(num_hashes)])
+        sb = sig.select(F.col("id").alias("b"), *[F.col(f"h{i}").alias(f"_hb{i}") for i in range(num_hashes)])
+        est = None
+        for i in range(num_hashes):
+            m = F.when(F.col(f"_ha{i}") == F.col(f"_hb{i}"), 1).otherwise(0)
+            est = m if est is None else est + m
+        cands = (
+            cands.join(sa, "a").join(sb, "b")
+            .filter(est / num_hashes >= threshold - estimate_margin)
+            .select("a", "b")
+        )
     sh = with_sh.select("id", F.explode("_sh").alias("sh"))
     sizes = with_sh.select("id", F.size("_sh").alias("sz"))
     a = sh.select(F.col("id").alias("a"), "sh")
