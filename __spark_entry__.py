@@ -204,6 +204,57 @@ def q_cooc_upsert_sum(spark, sf_dir):
     )
 
 
+def q_x2_levenshtein_pairs(spark, sf_dir):
+    """X2 NormalizedLevenshtein as JVM column math over a blocked self-join
+    (Configuration.java:213 metric; upper-triangle like CompareJob.java:28)."""
+    from graph_embeddings_spark.functions.similarity import normalized_levenshtein_col
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    sim = normalized_levenshtein_col(F.col("na"), F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.7)
+    )
+
+
+def q_x9_numeric_similarity(spark, sf_dir):
+    """X9 numeric proximity (||a-b|-d|+1)^(s-1) on order line quantities."""
+    from graph_embeddings_spark.functions.similarity import numeric_similarity_col
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("a"),
+                  F.col("l_quantity").cast("int").cast("string").alias("qa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_linenumber").alias("b"),
+                  F.col("l_quantity").cast("int").cast("string").alias("qb"))
+    sim = numeric_similarity_col(F.col("qa"), F.col("qb"), smooth=0.5, distance=0.0)
+    return (
+        a.join(b, "k")
+        .filter(F.col("a") < F.col("b"))
+        .select("k", "a", "b", F.round(sim, 6).alias("sim"))
+    )
+
+
+def q_x10_date_similarity(spark, sf_dir):
+    """X10 date-days similarity ((|Δdays|-d+1)^(s-1) shape, Date.java:60)
+    with the BACKWARDS direction gate (Date.java:52-59) over order dates."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    a = o.select(F.col("o_orderkey").alias("a"), F.col("o_orderdate").alias("da"))
+    b = o.select(F.col("o_orderkey").alias("b"), F.col("o_orderdate").alias("db"))
+    delta = F.abs(F.datediff(F.col("db"), F.col("da")))
+    sim = F.pow(delta + 1.0, F.lit(-0.5))
+    gated = F.when(F.col("da") > F.col("db"), F.lit(0.0)).otherwise(sim)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(gated, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -375,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "self_join_pairs": q_self_join_pairs,
         "cooc_upsert_sum": q_cooc_upsert_sum,
+        "x2_levenshtein_pairs": q_x2_levenshtein_pairs,
+        "x9_numeric_similarity": q_x9_numeric_similarity,
+        "x10_date_similarity": q_x10_date_similarity,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -514,6 +568,36 @@ def oracle_sql() -> dict[str, str]:
         "cooc_upsert_sum": """
             SELECT user_id AS i, event_type AS j, round(sum(value), 4) AS x
             FROM events GROUP BY 1, 2
+        """,
+        "x2_levenshtein_pairs": """
+            SELECT a.p_partkey AS a, b.p_partkey AS b,
+                   round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                         / greatest(length(a.p_name), length(b.p_name)), 6) AS sim
+            FROM part a JOIN part b
+              ON a.p_partkey < b.p_partkey AND a.p_partkey < 200 AND b.p_partkey < 200
+            WHERE 1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                  / greatest(length(a.p_name), length(b.p_name)) >= 0.7
+        """,
+        "x9_numeric_similarity": """
+            SELECT a.l_orderkey AS k, a.l_linenumber AS a, b.l_linenumber AS b,
+                   round(CASE
+                     WHEN CAST(CAST(a.l_quantity AS INT) AS VARCHAR) = CAST(CAST(b.l_quantity AS INT) AS VARCHAR) THEN 1.0
+                     ELSE pow(abs(abs(CAST(a.l_quantity AS INT) - CAST(b.l_quantity AS INT)) - 0.0) + 1, -0.5)
+                   END, 6) AS sim
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+            WHERE a.l_orderkey < 100 AND b.l_orderkey < 100
+        """,
+        "x10_date_similarity": """
+            SELECT a.o_orderkey AS a, b.o_orderkey AS b,
+                   round(CASE WHEN a.o_orderdate > b.o_orderdate THEN 0.0
+                         ELSE pow(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                                                CAST(b.o_orderdate AS DATE))) + 1.0, -0.5) END, 6) AS sim
+            FROM orders a JOIN orders b ON a.o_orderkey < b.o_orderkey
+            WHERE a.o_orderkey < 300 AND b.o_orderkey < 300
+              AND CASE WHEN a.o_orderdate > b.o_orderdate THEN 0.0
+                  ELSE pow(abs(date_diff('day', CAST(a.o_orderdate AS DATE),
+                                         CAST(b.o_orderdate AS DATE))) + 1.0, -0.5) END >= 0.2
         """,
         "dedup_exact": """
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
