@@ -150,11 +150,14 @@ def train_epoch(
 ) -> tuple[DataFrame, float]:
     """One epoch -> (new params DF, summed cost). Lazy until the cost agg."""
     shard_key = F.pmod(F.xxhash64("i", "j", F.lit(seed + iteration)), F.lit(n_shards))
+    # one explicit clustering by shard: the distinct below (hash(shard)
+    # satisfies ClusteredDistribution(shard, node_id)) and the cogroup's
+    # cooc side both reuse this exchange instead of re-shuffling
     sharded = cooc.select(
         "i", "j", "x",
         shard_key.alias("shard"),
         F.xxhash64("j", "i", F.lit(seed * 31 + iteration)).alias("_ord"),
-    )
+    ).repartition(n_shards, "shard")
     touched = (
         sharded.select("shard", F.explode(F.array("i", "j")).alias("node_id")).distinct()
     )
@@ -273,7 +276,11 @@ def optimize(
     if n_shards is None:
         n_shards = max(4, spark.sparkContext.defaultParallelism)
     params = start_params if start_params is not None else init_params_df(nodes, dim, seed, method)
-    params = params.persist()
+    # stable hash-partitioning on node_id, maintained across epochs: the
+    # per-epoch touched-params join and the combine-result join then only
+    # shuffle their small side (params is the big side at real vocab sizes)
+    pp = max(8, spark.sparkContext.defaultParallelism)
+    params = params.repartition(pp, "node_id").persist()
     params.count()  # materialize init once
 
     history: list[float] = []
@@ -290,7 +297,8 @@ def optimize(
         if checkpoint_dir is not None:
             path = f"{checkpoint_dir}/params_epoch={it:04d}"
             new_params.write.mode("overwrite").parquet(path)
-            new_params = spark.read.parquet(path)
+            # parquet round-trip loses the hash partitioning — restore it
+            new_params = spark.read.parquet(path).repartition(pp, "node_id")
         else:
             new_params = new_params.localCheckpoint(eager=True)
         params.unpersist()
