@@ -62,6 +62,11 @@ def run_queries(spark) -> dict[str, float]:
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     out = {}
     for name in HEADLINE:
+        # one untimed run pays codegen/JIT for this query's plan shape, so
+        # the timed run measures steady-state throughput — the same warmup
+        # policy the pipeline section documents (capacity at 100 TB is a
+        # steady-state number; JVM compile latency is a fixed cost)
+        _force(qs[name](spark, SF_DIR))
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         out[name] = round(time.perf_counter() - t0, 3)
@@ -159,7 +164,9 @@ def main():
 
     from graph_embeddings_spark.session import get_spark
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(8, CPUS))
+    # cores are clamped to the host's measured effective parallelism inside
+    # get_spark (session.effective_cores) — local[32] on this VM regresses
+    spark = get_spark("bench", cores=CPUS)
     queries = run_queries(spark)
     pipe = run_pipeline_section(spark, PAGES)
     spark.stop()

@@ -54,6 +54,20 @@ def char_ngrams_distinct(c, k: int = 3):
     return F.array_distinct(arr)
 
 
+def char_ngram_hashes_distinct(c, k: int = 3):
+    """Distinct xxhash64'd char k-grams — the hash is folded INTO the
+    shingle transform so only one higher-order-function pass runs (HOFs are
+    interpreted, not codegen'd; a separate hash pass doubles that cost), and
+    the distinct runs on primitive longs."""
+    s = norm_text_col(c)
+    n = F.length(s) - (k - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
+    arr = F.when(
+        n >= 1, F.transform(idx, lambda i: F.xxhash64(F.substr(s, i, F.lit(k))))
+    ).otherwise(F.array().cast("array<long>"))
+    return F.array_distinct(arr)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = None
 ) -> DataFrame:
@@ -92,13 +106,18 @@ def minhash_lsh_dedup(
     docs: DataFrame,
     threshold: float = 0.7,
     k: int = 3,
-    num_hashes: int = 32,
-    bands: int = 16,
+    num_hashes: int | None = None,
+    bands: int | None = None,
     estimate_margin: float | None = 0.2,
 ) -> DataFrame:
     """-> (a, b, jac >= threshold): banded-MinHash candidates + exact
     rescore. The scale path: candidate generation touches each doc
     O(num_hashes) times, never all-pairs.
+
+    bands=None derives (bands, rows) from the threshold via the standard
+    (1/b)^(1/r) S-curve (functions.lsh.derive_banding) — fixed banding that
+    ignores the threshold makes low-jaccard pairs collide and degenerates
+    into all-pairs candidate generation on shared-vocabulary corpora.
 
     estimate_margin: before the (expensive) exact shingle-intersection
     join, drop candidate pairs whose signature-estimated jaccard
@@ -107,38 +126,60 @@ def minhash_lsh_dedup(
     is ≈ 0.3%, so recall loss is negligible while near-dup-heavy corpora
     (where LSH emits O(n²) candidates because the docs really are all
     similar) skip the candidates×shingles blow-up. None disables (exact
-    recall within the LSH candidate set)."""
-    from ..functions.lsh import minhash_signatures
+    recall within the LSH candidate set).
 
-    with_sh = docs.select(
-        F.col("doc_id").alias("id"),
-        char_ngrams_distinct(F.col("text"), k).alias("_sh"),
-    )
-    cands = lsh_candidate_pairs(with_sh, "id", F.col("_sh"), num_hashes, bands)
-    if estimate_margin is not None:
-        sig = minhash_signatures(with_sh, "id", F.col("_sh"), num_hashes)
-        sa = sig.select(F.col("id").alias("a"), *[F.col(f"h{i}").alias(f"_ha{i}") for i in range(num_hashes)])
-        sb = sig.select(F.col("id").alias("b"), *[F.col(f"h{i}").alias(f"_hb{i}") for i in range(num_hashes)])
-        est = None
-        for i in range(num_hashes):
-            m = F.when(F.col(f"_ha{i}") == F.col(f"_hb{i}"), 1).otherwise(0)
-            est = m if est is None else est + m
-        cands = (
-            cands.join(sa, "a").join(sb, "b")
-            .filter(est / num_hashes >= threshold - estimate_margin)
-            .select("a", "b")
+    Physical-plan notes (the parts that matter at 100 TB):
+      * the input is repartitioned to an EXPLICIT partition count before
+        shingling — the stage is CPU-bound on tiny compressed bytes, so
+        AQE's byte-based coalescing would otherwise collapse it to one task
+        (the documented trap on this host; same fix as extract.text);
+        explicit-count repartitions are exempt from AQE coalescing.
+      * signatures are computed ONCE and reused by both the banded join and
+        the estimate prefilter (one explode+groupBy, the dominant hash cost).
+      * the exact rescore is array_intersect on the per-doc shingle ARRAYS —
+        O(|A|+|B|) per candidate pair, all JVM — instead of the exploded
+        shingle equi-join whose intermediate is Σ|A∩B| rows (quadratic row
+        blow-up on near-dup-heavy corpora).
+    """
+    from ..functions.lsh import derive_banding, derive_lsh_config, lsh_candidate_pairs_filtered, minhash_signatures
+
+    if num_hashes is None and bands is None:
+        num_hashes, bands = derive_lsh_config(threshold)
+    elif bands is None:
+        bands, _rows = derive_banding(threshold, num_hashes)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # shingles are hashed to 64-bit longs up front: jaccard over the hashed
+    # sets equals jaccard over the string sets modulo 2^-64 collisions, and
+    # every downstream op (min-agg signatures, array_intersect rescore) runs
+    # on primitive longs instead of strings. The relation is persisted —
+    # three consumers (signatures, rescore a-side, rescore b-side) would
+    # otherwise each re-run the interpreted shingling HOF; at 8 B/shingle
+    # it is ~2.5 KB/doc, MEMORY_AND_DISK-safe at any corpus size.
+    from pyspark import StorageLevel
+
+    with_sh = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            F.col("doc_id").alias("id"),
+            char_ngram_hashes_distinct(F.col("text"), k).alias("_sh"),
         )
-    sh = with_sh.select("id", F.explode("_sh").alias("sh"))
-    sizes = with_sh.select("id", F.size("_sh").alias("sz"))
-    a = sh.select(F.col("id").alias("a"), "sh")
-    b = sh.select(F.col("id").alias("b"), "sh")
-    inter = (
-        cands.join(a, "a").join(b, ["b", "sh"]).groupBy("a", "b").agg(F.count("*").alias("inter"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sig = minhash_signatures(with_sh, "id", F.col("_sh"), num_hashes)
+    est_min = None if estimate_margin is None else threshold - estimate_margin
+    cands = lsh_candidate_pairs_filtered(
+        sig, "id", num_hashes, bands, est_min=est_min
+    )
+    arrs = with_sh.select("id", "_sh", F.size("_sh").alias("_sz"))
+    inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
     return (
-        inter.join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
-        .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
-        .withColumn("jac", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        cands.join(
+            arrs.select(F.col("id").alias("a"), F.col("_sh").alias("_sha"), F.col("_sz").alias("sza")), "a"
+        )
+        .join(
+            arrs.select(F.col("id").alias("b"), F.col("_sh").alias("_shb"), F.col("_sz").alias("szb")), "b"
+        )
+        .withColumn("jac", inter / (F.col("sza") + F.col("szb") - inter))
         .filter(F.col("jac") >= threshold)
         .select("a", "b", "jac")
     )

@@ -50,6 +50,56 @@ def word_shingles_col(c, n: int = 1):
     return F.array_distinct(arr)
 
 
+def derive_banding(
+    threshold: float, num_hashes: int = 64, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """(bands, rows_per_band) for a banded-MinHash join at `threshold`.
+
+    Standard S-curve tuning: a pair with true jaccard j collides in at least
+    one band with p = 1 − (1 − j^r)^b. Pick the MOST selective r (largest
+    rows-per-band, steepest curve) whose recall at j = threshold still meets
+    target_recall; b = num_hashes // r. This replaces fixed (16 bands × 2
+    rows), which at θ=0.8 collided j=0.3 pairs with p≈0.78 — nearly
+    all-pairs candidate generation. With the default 64 hashes at θ=0.8 this
+    picks (16 bands × 4 rows): recall ≈ 0.9998, j=0.3 collision ≈ 0.12.
+    """
+    divisors = sorted(
+        (r for r in range(1, num_hashes + 1) if num_hashes % r == 0), reverse=True
+    )
+    for r in divisors:
+        b = num_hashes // r
+        recall = 1.0 - (1.0 - threshold**r) ** b
+        if recall >= target_recall:
+            return b, r
+    return num_hashes, 1
+
+
+def derive_lsh_config(
+    threshold: float, target_recall: float = 0.95
+) -> tuple[int, int]:
+    """(num_hashes, bands) choosing the signature LENGTH too.
+
+    More hashes buy steeper S-curves but cost a linear amount of hashing per
+    shingle, and extra bands at fixed rows-per-band only ADD false
+    positives — so among configs meeting target_recall at `threshold`, pick
+    the one minimizing the collision probability of a clearly-below-
+    threshold pair (j = threshold − 0.25), tie-breaking toward the shorter
+    signature. E.g. θ=0.8 → (32 hashes, 8 bands × 4 rows); θ=0.7 →
+    (64, 16 × 4)."""
+    j_bg = max(threshold - 0.25, threshold / 2.0)
+    best = None
+    for n in (16, 32, 64):
+        b, r = derive_banding(threshold, n, target_recall)
+        if 1.0 - (1.0 - threshold**r) ** b < target_recall:
+            continue
+        fp = 1.0 - (1.0 - j_bg**r) ** b
+        if best is None or fp < best[0] - 1e-12:
+            best = (fp, n, b)
+    if best is None:
+        return 64, derive_banding(threshold, 64, target_recall)[0]
+    return best[1], best[2]
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col, num_hashes: int = 16
 ) -> DataFrame:
@@ -82,6 +132,71 @@ def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> Da
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
+def lsh_candidate_pairs_from_sig(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Self-join candidates (a < b) from precomputed signatures — lets a
+    caller compute signatures ONCE and reuse them for both banding and the
+    signature-estimate prefilter (minhash_lsh_dedup does)."""
+    bands_df = lsh_bands(sig_df, id_col, num_hashes, bands)
+    sized = bands_df.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
+    b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"], "inner")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_filtered(
+    sig_df: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int = 1000,
+    est_min: float | None = None,
+) -> DataFrame:
+    """Band join + signature-estimate prefilter FUSED into one stage.
+
+    The signature rides along the banded rows as a single array<long>
+    column, so the matching-minhash-fraction estimate is computed inside
+    the bucket join itself (zip_with over the two arrays) — before the
+    distinct — instead of re-joining the signature table twice afterwards.
+    est_min: drop pairs whose estimated jaccard (matching fraction) is
+    below it; None keeps every bucket collision."""
+    rows_per_band = num_hashes // bands
+    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
+    band_structs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(b), *cols).alias("bucket")))
+    banded = sig_df.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig"),
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sized = banded.withColumn(
+        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+    ).filter(F.col("bsz") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "band", "bucket")
+    b2 = sized.select(F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "band", "bucket")
+    joined = a.join(b2, ["band", "bucket"], "inner").filter(F.col("a") < F.col("b"))
+    if est_min is not None:
+        matches = F.size(
+            F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda t: t)
+        )
+        joined = joined.filter(matches >= F.lit(int(est_min * num_hashes + 0.999999)))
+    return joined.select("a", "b").distinct()
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -96,19 +211,9 @@ def lsh_candidate_pairs(
     dropped buckets is observable via the returned DF's 'oversize' lineage —
     callers wanting it call ``lsh_bucket_stats``.
     """
-    bands_df = lsh_bands(
-        minhash_signatures(df, id_col, shingle_col, num_hashes), id_col, num_hashes, bands
-    )
-    sized = bands_df.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bsz") <= max_bucket)
-    a = sized.select(F.col(id_col).alias("a"), "band", "bucket")
-    b = sized.select(F.col(id_col).alias("b"), "band", "bucket")
-    return (
-        a.join(b, ["band", "bucket"], "inner")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
+    return lsh_candidate_pairs_from_sig(
+        minhash_signatures(df, id_col, shingle_col, num_hashes),
+        id_col, num_hashes, bands, max_bucket,
     )
 
 

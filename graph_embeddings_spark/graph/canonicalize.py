@@ -108,10 +108,16 @@ def similarity_pairs(nodes: DataFrame, group: SimilarityGroup) -> DataFrame:
             shingles = char_shingles_col(F.col("label"), 3)
             cands = rare_shingle_pairs(pool.withColumn("_sh", shingles), "id", F.col("_sh"))
         else:  # ngram_jaccard / ngram_cosine: banded MinHash over char shingles
+            from ..functions.lsh import derive_lsh_config
+
             shingles = char_shingles_col(F.col("label"), group.ngram)
+            # (num_hashes, bands) derived from the group's threshold
+            # (S-curve) so the candidate volume tracks the acceptance bar
+            # instead of degenerating to all-pairs at high thresholds
+            n_hashes, bands = derive_lsh_config(group.threshold)
             cands = lsh_candidate_pairs(
                 pool.withColumn("_sh", shingles), "id", F.col("_sh"),
-                num_hashes=32, bands=16,  # rows=2: P(miss | j=0.5) ≈ 0.75^16 ≈ 1%
+                num_hashes=n_hashes, bands=bands,
             )
     else:
         cands = _numeric_buckets(pool, group)

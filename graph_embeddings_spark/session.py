@@ -12,13 +12,27 @@ import os
 from pyspark.sql import SparkSession
 
 
+def effective_cores(requested: int | str) -> int:
+    """Clamp the local[N] worker count to this host's measured useful
+    parallelism. Raw-CPU calibration (tools/scaling_bench.py, documented in
+    BENCH/BASELINE.md) shows this Firecracker VM delivers ~18 effective
+    cores behind 32 visible vCPUs, and Spark runs at local[16]/local[32]
+    measurably REGRESS vs local[8] (JVM task threads + Python workers
+    oversubscribe). On a real cluster the executor count is the deploy-time
+    knob; locally, running more threads than the host can execute just adds
+    scheduling noise to every benchmark. Override the clamp with
+    SPARK_GRAFT_CORE_CLAMP (set it >= 32 to disable)."""
+    clamp = int(os.environ.get("SPARK_GRAFT_CORE_CLAMP", "8"))
+    return min(int(requested), clamp)
+
+
 def get_spark(
     app_name: str = "graph-embeddings-spark",
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    cores = cores or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    cores = effective_cores(cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(int(cores), 8))))
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
