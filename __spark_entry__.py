@@ -109,13 +109,14 @@ def q_a5_unity_normalize(spark, sf_dir):
 
 
 def q_a5_counts_normalize(spark, sf_dir):
-    """A5 counts: min-max scale into [1,1000] per group (BCV.toCounts)."""
+    """A5 counts: x*999/(max-min)+1 per group (BCV.toCounts, BCV.java:89-91 —
+    the reference scale does NOT subtract min; max==min guarded to 1.0)."""
     li = _t(spark, sf_dir, "lineitem")
     stats = li.groupBy("l_returnflag").agg(
         F.max("l_extendedprice").alias("_mx"), F.min("l_extendedprice").alias("_mn")
     )
     scaled = F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
-        (F.col("l_extendedprice") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * 999.0 + 1.0
+        F.col("l_extendedprice") * 999.0 / (F.col("_mx") - F.col("_mn")) + 1.0
     )
     return (
         li.join(stats, "l_returnflag")
@@ -519,7 +520,7 @@ def oracle_sql() -> dict[str, str]:
         "a5_counts_normalize": """
             SELECT l_orderkey, l_linenumber, l_returnflag,
                    round(CASE WHEN mx = mn THEN 1.0
-                         ELSE (l_extendedprice - mn) / (mx - mn) * 999.0 + 1.0 END, 6) AS x_counts
+                         ELSE l_extendedprice * 999.0 / (mx - mn) + 1.0 END, 6) AS x_counts
             FROM (SELECT *, max(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx,
                          min(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mn
                   FROM lineitem)

@@ -75,7 +75,15 @@ def build_adjacency(edges: DataFrame, direction: str, salt_degree: int = 0) -> D
     wsum = adj.groupBy("node").agg(F.sum("weight").alias("wsum"))
     flat = adj.join(wsum, "node")
     if salt_degree > 0:
-        flat = flat.withColumn("_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_degree)))
+        # real salting: partition the adjacency by (node, _salt) so one
+        # hub's rows spread over salt_degree partitions; the expansion join
+        # (_one_direction) explodes each frontier row across all salt
+        # values and joins on (node, _salt), so the hub fan-out runs in
+        # salt_degree tasks instead of one. The round groupBy re-merges.
+        flat = flat.withColumn(
+            "_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_degree)).cast("int")
+        )
+        return flat.repartition("node", "_salt")
     return flat.repartition("node")
 
 
@@ -92,6 +100,7 @@ def _one_direction(
     epsilon: float,
     max_rounds: int,
     use_checkpoint: bool = True,
+    salt_degree: int = 0,
 ) -> DataFrame:
     """Run the paint loop for every root in `roots` (node_id long) against a
     prebuilt adjacency; returns un-normalized bcv(i, j, x) with the root
@@ -107,8 +116,18 @@ def _one_direction(
             wet.select("root", "node", (F.lit(alpha) * F.col("paint")).alias("x"))
         )
         frontier = wet.filter(F.col("paint") >= epsilon)
+        join_keys = ["node"]
+        if salt_degree > 0:
+            # replicate each frontier row to every salt sub-key: a hub
+            # node's expansion then runs as salt_degree co-partitioned
+            # join tasks instead of one (re-merged by the groupBy below)
+            frontier = frontier.withColumn(
+                "_salt",
+                F.explode(F.sequence(F.lit(0), F.lit(salt_degree - 1)).cast("array<int>")),
+            )
+            join_keys = ["node", "_salt"]
         moved = (
-            frontier.join(adj, "node")
+            frontier.join(adj, join_keys)
             .select(
                 "root",
                 F.col("dst").alias("node"),
@@ -135,8 +154,13 @@ def _one_direction(
 def normalize_bcvs(bcv: DataFrame, mode: str) -> DataFrame:
     """Per-root normalization — BCV.java:52-70 exactly:
 
-    counts: min/max over ALL entries (root included), linear map into
-            [1, 1000], THEN drop the root entry (toCounts order).
+    counts: x * (1000-1)/(max-min) + 1 over ALL entries (root included;
+            min/max per root), THEN drop the root entry (toCounts order).
+            Note the reference's scale (BCV.java:89-91) does NOT subtract
+            min from x — it is a pure rescale + offset, not a min-max map
+            into [1,1000]. max==min divides by zero in the reference
+            (float Infinity); we map that degenerate root to 1.0 instead —
+            a deliberate, documented deviation like the Numeric s2hat fix.
     unity:  drop the root entry FIRST, divide by the remaining sum,
             subtract 1e-6 (toUnity order).
     none:   keep everything, root entry included.
@@ -152,8 +176,7 @@ def normalize_bcvs(bcv: DataFrame, mode: str) -> DataFrame:
                 F.when(
                     F.col("_mx") == F.col("_mn"), F.lit(1.0)
                 ).otherwise(
-                    (F.col("x") - F.col("_mn")) / (F.col("_mx") - F.col("_mn")) * (1000.0 - 1.0)
-                    + 1.0
+                    F.col("x") * (1000.0 - 1.0) / (F.col("_mx") - F.col("_mn")) + 1.0
                 ),
             )
             .filter(F.col("i") != F.col("j"))
@@ -366,8 +389,8 @@ def bca_cooccurrence(
     elif directed:
         adj_out = build_adjacency(edges, "out", salt_degree)
         adj_in = build_adjacency(edges, "in", salt_degree)
-        fwd = _one_direction(roots, adj_out, alpha, epsilon, rounds, use_checkpoint)
-        rev = _one_direction(roots, adj_in, alpha, epsilon, rounds, use_checkpoint)
+        fwd = _one_direction(roots, adj_out, alpha, epsilon, rounds, use_checkpoint, salt_degree)
+        rev = _one_direction(roots, adj_in, alpha, epsilon, rounds, use_checkpoint, salt_degree)
         bcv = (
             fwd.unionAll(rev)
             .groupBy("i", "j")
@@ -375,7 +398,7 @@ def bca_cooccurrence(
         )
     else:
         adj = build_adjacency(edges, "both", salt_degree)
-        bcv = _one_direction(roots, adj, alpha, epsilon, rounds, use_checkpoint)
+        bcv = _one_direction(roots, adj, alpha, epsilon, rounds, use_checkpoint, salt_degree)
 
     normed = normalize_bcvs(bcv, normalize)
     normed = normed.persist()

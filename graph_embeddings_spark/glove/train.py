@@ -147,8 +147,15 @@ def train_epoch(
     n_shards: int,
     batch: int = 4096,
     average_mode: str = "hybrid",
+    cache_handles: list | None = None,
 ) -> tuple[DataFrame, float]:
-    """One epoch -> (new params DF, summed cost). Lazy until the cost agg."""
+    """One epoch -> (new params DF, summed cost). Lazy until the cost agg.
+
+    cache_handles: the epoch's persisted cogroup output is appended here so
+    the caller can unpersist it once new_params is materialized (optimize
+    does after each epoch checkpoint) — otherwise cached shard outputs
+    accumulate across a long run. None = caller accepts the leak (single-
+    epoch uses; Spark's ContextCleaner reclaims on GC eventually)."""
     shard_key = F.pmod(F.xxhash64("i", "j", F.lit(seed + iteration)), F.lit(n_shards))
     # one explicit clustering by shard: the distinct below (hash(shard)
     # satisfies ClusteredDistribution(shard, node_id)) and the cogroup's
@@ -175,6 +182,8 @@ def train_epoch(
         .applyInPandas(train_fn, _OUT_SCHEMA)
         .persist()
     )
+    if cache_handles is not None:
+        cache_handles.append(out)
     total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
 
     updated = out.filter(F.col("node_id") >= 0).groupBy("node_id").agg(
@@ -288,10 +297,11 @@ def optimize(
     final_cost = 0.0
     epochs = 0
     for it in range(start_epoch, maxiter):
+        handles: list = []
         new_params, total_cost = train_epoch(
             cooc, params, dim=dim, method=method, cost=cost, max_x=max_x,
             iteration=it, seed=seed, n_shards=n_shards, batch=batch,
-            average_mode=average_mode,
+            average_mode=average_mode, cache_handles=handles,
         )
         # truncate lineage each epoch; optionally durable checkpoint
         if checkpoint_dir is not None:
@@ -303,6 +313,9 @@ def optimize(
             new_params = new_params.localCheckpoint(eager=True)
         params.unpersist()
         params = new_params.persist()
+        # new_params is durable now — drop the epoch's cached shard output
+        for h in handles:
+            h.unpersist()
 
         epoch_cost = total_cost / max(co_count, 1)
         history.append(epoch_cost)
@@ -317,6 +330,22 @@ def optimize(
 
 def resume_params(spark, checkpoint_dir: str, epoch: int) -> DataFrame:
     return spark.read.parquet(f"{checkpoint_dir}/params_epoch={epoch:04d}")
+
+
+def find_completed_epochs(checkpoint_dir: str) -> list[int]:
+    """Epoch numbers with a COMPLETE params checkpoint (parquet _SUCCESS
+    marker — a half-written epoch from a killed run is not resumable)."""
+    import os
+
+    if not os.path.isdir(checkpoint_dir):
+        return []
+    out = []
+    for d in os.listdir(checkpoint_dir):
+        if d.startswith("params_epoch=") and os.path.exists(
+            os.path.join(checkpoint_dir, d, "_SUCCESS")
+        ):
+            out.append(int(d.split("=", 1)[1]))
+    return sorted(out)
 
 
 def extract_embeddings(params: DataFrame) -> DataFrame:

@@ -56,8 +56,16 @@ def _numeric_buckets(df: DataFrame, group: SimilarityGroup) -> DataFrame:
     span the threshold can accept:  sim >= θ  ⇔  ||a-b|-dist| <= θ^(1/(s-1))-1."""
     radius = max(1.0, group.threshold ** (1.0 / (group.smooth - 1.0)) - 1.0 + group.threshold_distance)
     if group.method.startswith("date_"):
-        unit_days = {"date_days": 1.0, "date_months": 31.0, "date_years": 366.0}[group.method]
-        radius *= unit_days
+        # converting a month/year delta bound to DAYS must over-cover: a
+        # months-delta of r can span up to 31*(r+1)-1 days (Jan 1 -> Feb 28
+        # is 58 days but months=1, ChronoUnit truncation), so the day-space
+        # radius is (r+1)*unit — a true upper bound on the accepted span
+        if group.method == "date_days":
+            pass
+        elif group.method == "date_months":
+            radius = (radius + 1.0) * 31.0
+        else:  # date_years
+            radius = (radius + 1.0) * 366.0
         fmt = "yyyyMMdd" if group.pattern == "iso" else group.pattern
         # try_to_date: malformed literals -> NULL (dropped), not an ANSI error
         val = F.unix_date(F.expr(f"try_to_date(split(label, '\\\\^')[0], '{fmt}')"))

@@ -59,7 +59,8 @@ def node_kind_expr():
 
 
 def assign_consecutive_ids(
-    df: DataFrame, order_cols: list, id_col: str = "node_id"
+    df: DataFrame, order_cols: list, id_col: str = "node_id",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Deterministic consecutive ids [0, n) in global sort order WITHOUT a
     single-task global window: range-partition on the sort key (parallel
@@ -92,7 +93,11 @@ def assign_consecutive_ids(
             n += len(pdf)
             yield pdf
 
+    # persisted: consumed twice (per-partition counts, then the id join);
+    # callers that checkpoint the result pass cache_registry to unpersist it
     local = ranged.mapInPandas(number, out_schema).persist()
+    if cache_registry is not None:
+        cache_registry.append(local)
     counts = {r["_pid"]: r["c"] for r in local.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -109,7 +114,7 @@ def assign_consecutive_ids(
     )
 
 
-def build_nodes(triples: DataFrame) -> DataFrame:
+def build_nodes(triples: DataFrame, cache_registry: list | None = None) -> DataFrame:
     """A1 — nodes(node_id long, label string, node_type tinyint, pred_ctx string).
 
     pred_ctx is NULL for URI/blank nodes (global identity) and the predicate
@@ -131,6 +136,7 @@ def build_nodes(triples: DataFrame) -> DataFrame:
     return assign_consecutive_ids(
         distinct_nodes,
         [F.col("node_type"), F.col("label"), F.col("pred_ctx").asc_nulls_first()],
+        cache_registry=cache_registry,
     )
 
 
@@ -185,11 +191,13 @@ def similarity_edges(pairs: DataFrame) -> DataFrame:
     )
 
 
-def materialize_graph(triples: DataFrame, weights: dict[str, float]):
+def materialize_graph(
+    triples: DataFrame, weights: dict[str, float], cache_registry: list | None = None
+):
     """Full stage: returns (nodes, edges, etypes). triples needs columns
     (subj, pred, obj, obj_kind)."""
     weighted = filter_by_predicate_weights(triples, weights)
-    nodes = build_nodes(weighted)
+    nodes = build_nodes(weighted, cache_registry=cache_registry)
     etypes = build_edge_types(weighted)
     edges = build_edges(weighted, nodes, etypes)
     return nodes, edges, etypes

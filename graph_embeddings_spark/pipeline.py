@@ -32,7 +32,7 @@ from .corpus import PHRASE_TO_PRED  # closed predicate vocabulary
 from .bca.cooc import CoocResult, bca_cooccurrence
 from .extract.text import latest_pages, with_extracted_text
 from .extract.triples import extract_surface_triples, link_triples
-from .glove.train import extract_embeddings, optimize
+from .glove.train import extract_embeddings, find_completed_epochs, optimize, resume_params
 from .graph.canonicalize import all_similarity_pairs
 from .graph.materialize import materialize_graph, similarity_edges
 from .output import filter_embeddings, write_tsv
@@ -68,12 +68,18 @@ def load_stage(spark: SparkSession, work_dir: str, stage: str) -> DataFrame:
     return spark.read.parquet(data)
 
 
-def _resumable(spark, work_dir, stage, build_fn, resume: bool):
+def _resumable(spark, work_dir, stage, build_fn, resume: bool, caches: list | None = None):
+    """caches: DataFrames persisted by build_fn's internals; once the stage
+    is checkpointed (durable), they are unpersisted — without this, every
+    stage's intermediate caches survive the whole run."""
     if resume and work_dir and stage_done(work_dir, stage):
         return load_stage(spark, work_dir, stage)
     df = build_fn()
     if work_dir:
-        return checkpoint_stage(df, work_dir, stage)
+        out = checkpoint_stage(df, work_dir, stage)
+        for c in caches or ():
+            c.unpersist()
+        return out
     return df
 
 
@@ -134,11 +140,13 @@ def run_pipeline(
     triples = _resumable(spark, work_dir, "triples", build_triples, resume)
 
     # -- graph materialization (F1/A1/A2) -----------------------------------
+    node_caches: list = []
+
     def build_nodes_fn():
-        nodes, edges, _ = materialize_graph(triples, weights)
+        nodes, edges, _ = materialize_graph(triples, weights, cache_registry=node_caches)
         return nodes
 
-    nodes = _resumable(spark, work_dir, "nodes", build_nodes_fn, resume)
+    nodes = _resumable(spark, work_dir, "nodes", build_nodes_fn, resume, caches=node_caches)
 
     def build_edges_fn():
         # rebuild against the checkpointed node dictionary for id stability
@@ -162,15 +170,18 @@ def run_pipeline(
         all_edges = edges
 
     # -- BCA co-occurrence ---------------------------------------------------
+    cooc_caches: list = []
+
     def build_cooc():
         res = bca_cooccurrence(
             nodes, all_edges,
             alpha=config.bca.alpha, epsilon=config.bca.epsilon,
             directed=config.bca.directed, normalize=config.bca.normalize,
         )
+        cooc_caches.append(res.cooc)  # persisted inside bca_cooccurrence
         return res.cooc
 
-    cooc_df = _resumable(spark, work_dir, "cooc", build_cooc, resume)
+    cooc_df = _resumable(spark, work_dir, "cooc", build_cooc, resume, caches=cooc_caches)
     agg = cooc_df.agg(F.count("*").alias("n"), F.max("x").alias("mx")).collect()[0]
     cooc = CoocResult(
         cooc=cooc_df, vocab_size=nodes.count(), co_count=int(agg["n"]),
@@ -181,13 +192,24 @@ def run_pipeline(
     history: list[float] = []
     if train:
         ckpt = os.path.join(work_dir, "params") if work_dir else None
+        # mid-run training resume (north_rule): pick up from the last
+        # COMPLETE per-epoch params checkpoint (parquet _SUCCESS marker)
+        start_params, start_epoch = None, 0
+        if resume and ckpt is not None:
+            done_epochs = find_completed_epochs(ckpt)
+            if done_epochs and max(done_epochs) + 1 < config.opt.maxiter:
+                start_epoch = max(done_epochs) + 1
+                start_params = resume_params(spark, ckpt, max(done_epochs))
+            elif done_epochs:  # training already finished in a prior run
+                start_epoch = config.opt.maxiter
+                start_params = resume_params(spark, ckpt, max(done_epochs))
         res = optimize(
             cooc.cooc, nodes,
             dim=config.dim, co_count=cooc.co_count, max_x=cooc.max_x,
             cost=config.method, method=config.opt.method,
             maxiter=config.opt.maxiter, tolerance=config.opt.tolerance,
             seed=config.seed, n_shards=n_shards, batch=batch,
-            checkpoint_dir=ckpt,
+            checkpoint_dir=ckpt, start_params=start_params, start_epoch=start_epoch,
         )
         history = res.cost_history
         vecs = extract_embeddings(res.params)

@@ -195,6 +195,25 @@ def test_strategies_agree_on_weighted_fork(spark):
             assert a[root][j] == pytest.approx(b[root][j], abs=1e-9)
 
 
+def test_salted_loop_matches_unsalted(spark):
+    """salt_degree splits hub adjacency across (node, _salt) sub-partitions;
+    the frontier replication + round groupBy must leave values unchanged."""
+    nodes, edf = _graph_dfs(spark, FORK, 4)
+    a = _collect_bcvs(
+        bca_cooccurrence(nodes, edf, ALPHA, EPS, directed=True, strategy="loop").cooc
+    )
+    b = _collect_bcvs(
+        bca_cooccurrence(
+            nodes, edf, ALPHA, EPS, directed=True, strategy="loop", salt_degree=3
+        ).cooc
+    )
+    assert set(a) == set(b)
+    for root in a:
+        assert set(a[root]) == set(b[root])
+        for j in a[root]:
+            assert a[root][j] == pytest.approx(b[root][j], abs=1e-9)
+
+
 def test_paint_conservation(spark):
     """Sum of retained paint per root <= 1 per pass (paint only leaks via
     epsilon drops / dead ends); >= alpha (the root always retains)."""
@@ -229,13 +248,22 @@ def test_normalize_unity(spark):
 
 
 def test_normalize_counts(spark):
-    """toCounts: min/max INCLUDE the root, scale to [1,1000], THEN drop root."""
+    """toCounts: min/max INCLUDE the root, x*999/(max-min)+1 (BCV.java:89-91
+    — no min subtraction), THEN drop root."""
     df = _bcv_df(spark, [(0, 0, 0.5), (0, 1, 0.1), (0, 2, 0.3)])
     got = {r["j"]: r["x"] for r in normalize_bcvs(df, NORM_COUNTS).collect()}
     assert set(got) == {1, 2}
-    # min=0.1 max=0.5 (root included): 0.1 -> 1, 0.3 -> 1 + 0.5*999 = 500.5
-    assert got[1] == pytest.approx(1.0, abs=1e-9)
-    assert got[2] == pytest.approx(500.5, abs=1e-6)
+    # min=0.1 max=0.5 (root included): x -> x*999/0.4 + 1
+    assert got[1] == pytest.approx(0.1 * 999 / 0.4 + 1.0, abs=1e-9)
+    assert got[2] == pytest.approx(0.3 * 999 / 0.4 + 1.0, abs=1e-6)
+
+
+def test_normalize_counts_degenerate(spark):
+    """max==min root (single off-root entry value): guarded to 1.0 (the
+    reference's float divide-by-zero Infinity, deliberately fixed)."""
+    df = _bcv_df(spark, [(0, 0, 0.2), (0, 1, 0.2)])
+    got = {r["j"]: r["x"] for r in normalize_bcvs(df, NORM_COUNTS).collect()}
+    assert got == {1: pytest.approx(1.0)}
 
 
 def test_cooc_result_metadata(spark):

@@ -229,3 +229,34 @@ def test_checkpoint_resume(spark, tmp_path):
     a = {r["node_id"]: list(r["focus"]) for r in res.params.collect()}
     b = {r["node_id"]: list(r["focus"]) for r in reloaded.collect()}
     assert a == b
+
+
+def test_find_completed_epochs_and_midrun_resume(spark, tmp_path):
+    """A 2-epoch run resumed for 2 more must equal an uninterrupted 4-epoch
+    run (same seed: the per-epoch shuffle key is seed+iteration, so the
+    resumed epochs replay the identical permutations)."""
+    from graph_embeddings_spark.glove.train import find_completed_epochs, resume_params
+
+    cooc, nodes = _tiny_cooc(spark)
+    ck1 = str(tmp_path / "interrupted")
+    optimize(
+        cooc, nodes, dim=4, co_count=8, max_x=3.0, maxiter=2, tolerance=0.0,
+        seed=42, n_shards=2, batch=1, checkpoint_dir=ck1,
+    )
+    assert find_completed_epochs(ck1) == [0, 1]
+    resumed = optimize(
+        cooc, nodes, dim=4, co_count=8, max_x=3.0, maxiter=4, tolerance=0.0,
+        seed=42, n_shards=2, batch=1, checkpoint_dir=ck1,
+        start_params=resume_params(spark, ck1, 1), start_epoch=2,
+    )
+    ck2 = str(tmp_path / "straight")
+    straight = optimize(
+        cooc, nodes, dim=4, co_count=8, max_x=3.0, maxiter=4, tolerance=0.0,
+        seed=42, n_shards=2, batch=1, checkpoint_dir=ck2,
+    )
+    a = {r["node_id"]: list(r["focus"]) for r in resumed.params.collect()}
+    b = {r["node_id"]: list(r["focus"]) for r in straight.params.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], abs=1e-6)
+    assert find_completed_epochs(str(tmp_path / "missing")) == []
