@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -67,7 +68,13 @@ def q_f1_pred_weight_filter(spark, sf_dir):
 
 def q_a1_vertex_dedup(spark, sf_dir):
     """A1: vertex identity — global dedup for subjects, per-predicate dedup
-    for literal objects, consecutive ids over a deterministic order."""
+    for literal objects, consecutive ids over a deterministic order.
+
+    Ids come from the ENGINE's own parallel range-sort assigner
+    (graph.materialize.assign_consecutive_ids), not a single-task global
+    window — the oracle-green row certifies the code path that ships."""
+    from graph_embeddings_spark.graph.materialize import assign_consecutive_ids
+
     li = _t(spark, sf_dir, "lineitem")
     subs = li.select(
         F.col("l_orderkey").cast("string").alias("label"),
@@ -80,8 +87,10 @@ def q_a1_vertex_dedup(spark, sf_dir):
         F.col("l_returnflag").alias("pred_ctx"),
     ).distinct()
     nodes = subs.unionByName(lits)
-    w = Window.orderBy("node_type", "label", F.col("pred_ctx").asc_nulls_first())
-    return nodes.withColumn("node_id", F.row_number().over(w).cast("long") - 1)
+    out = assign_consecutive_ids(
+        nodes, [F.col("node_type"), F.col("label"), F.col("pred_ctx").asc_nulls_first()]
+    )
+    return out.select("label", "node_type", "pred_ctx", "node_id")
 
 
 def q_a2_edge_type_dict(spark, sf_dir):
@@ -222,6 +231,66 @@ def q_x2_levenshtein_pairs(spark, sf_dir):
     )
 
 
+def q_x1_jarowinkler_pairs(spark, sf_dir):
+    """X1 JaroWinkler (Configuration.java:213 dispatch) over blocked part-name
+    pairs — Arrow-batched pandas UDF running the from-scratch scalar
+    (functions/similarity.py jaro_winkler_py), the same sanctioned path the
+    canonicalization rescore uses. Oracle: DuckDB jaro_winkler_similarity
+    (verified bit-identical on this column)."""
+    from pyspark.sql.types import DoubleType
+
+    from graph_embeddings_spark.functions.similarity import jaro_winkler_py
+
+    @F.pandas_udf(DoubleType())
+    def jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([jaro_winkler_py(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("_sim", jw(F.col("na"), F.col("nb")))
+        .filter(F.col("_sim") >= 0.75)
+        .select("a", "b", F.round("_sim", 6).alias("sim"))
+    )
+
+
+def q_x3_token_jaccard_pairs(spark, sf_dir):
+    """X3 token jaccard as the JVM column form (TokenJaccard.java:24-35
+    semantics: trim, drop len<=1 + stopwords, distinct sets)."""
+    from graph_embeddings_spark.functions.similarity import token_jaccard_col
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 250).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    sim = token_jaccard_col(F.col("na"), F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
+def q_x7_ngram_jaccard_pairs(spark, sf_dir):
+    """X7 char-3-gram jaccard as the JVM column form (debatty ShingleBased
+    profile: whitespace collapsed, no lowercase/trim)."""
+    from graph_embeddings_spark.functions.similarity import ngram_jaccard_col
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 250).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    sim = ngram_jaccard_col(F.col("na"), F.col("nb"), 3)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
 def q_x9_numeric_similarity(spark, sf_dir):
     """X9 numeric proximity (||a-b|-d|+1)^(s-1) on order line quantities."""
     from graph_embeddings_spark.functions.similarity import numeric_similarity_col
@@ -270,8 +339,11 @@ def q_dedup_exact(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from graph_embeddings_spark.datapipe.dedup import ngram_jaccard_pairs
 
+    # θ=0.6: the synthetic corpus's true near-dup pairs peak at jac≈0.69,
+    # so a 0.8 bar matched the oracle on 0 rows (vacuous); 0.6 exercises
+    # the jaccard math on a non-empty result
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    return ngram_jaccard_pairs(docs, threshold=0.8, k=3).select(
+    return ngram_jaccard_pairs(docs, threshold=0.6, k=3).select(
         "a", "b", F.round("jac", 6).alias("jac")
     )
 
@@ -296,10 +368,13 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
+    # θ=0.4: the synthetic embeddings' max pairwise cosine is ≈0.5, so the
+    # old 0.95 bar was a vacuous 0-row match; 0.4 checks the cosine math on
+    # a real result set
     from graph_embeddings_spark.datapipe.dedup import cosine_dedup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_dedup_pairs(emb, threshold=0.95).select(
+    return cosine_dedup_pairs(emb, threshold=0.4).select(
         "a", "b", F.round("cos", 5).alias("cos")
     )
 
@@ -413,6 +488,45 @@ def q_glove_train_smoke(spark, sf_dir):
     return extract_embeddings(res.params).select("node_id", F.size("vec").alias("dim"))
 
 
+def _glove_smoke(spark, sf_dir, method: str, cost: str):
+    """Shared harness for optimizer/cost-variant smokes (T3/T5/T6): two
+    epochs over an events-derived co-occurrence, rows-only check."""
+    from graph_embeddings_spark.glove.train import extract_embeddings, optimize
+
+    ev = _t(spark, sf_dir, "events")
+    tmap = (
+        ev.select("event_type").distinct()
+        .withColumn("tid", F.row_number().over(Window.orderBy("event_type")) + 9999)
+    )
+    cooc = (
+        ev.join(tmap, "event_type")
+        .groupBy(F.col("user_id").alias("i"), F.col("tid").cast("long").alias("j"))
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    nodes = (
+        cooc.select(F.col("i").alias("node_id"))
+        .union(cooc.select(F.col("j")))
+        .distinct()
+    )
+    mx = cooc.agg(F.max("x")).collect()[0][0]
+    res = optimize(
+        cooc, nodes, dim=8, co_count=cooc.count(), max_x=float(mx),
+        cost=cost, method=method, maxiter=2, tolerance=0.0, seed=42,
+        n_shards=4, batch=1024,
+    )
+    return extract_embeddings(res.params).select("node_id", F.size("vec").alias("dim"))
+
+
+def q_glove_adam_smoke(spark, sf_dir):
+    """T5 Adam epoch (Adam.java:43-118 semantics) visible to the harness."""
+    return _glove_smoke(spark, sf_dir, method="adam", cost="glove")
+
+
+def q_glove_pglove_amsgrad_smoke(spark, sf_dir):
+    """T3 PGloVe cost (logit link) + T6 AMSGrad (max-of-moments) together."""
+    return _glove_smoke(spark, sf_dir, method="amsgrad", cost="pglove")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_top_preds": lambda spark, sf: entry_at(spark, sf),
@@ -427,7 +541,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "self_join_pairs": q_self_join_pairs,
         "cooc_upsert_sum": q_cooc_upsert_sum,
+        "x1_jarowinkler_pairs": q_x1_jarowinkler_pairs,
         "x2_levenshtein_pairs": q_x2_levenshtein_pairs,
+        "x3_token_jaccard_pairs": q_x3_token_jaccard_pairs,
+        "x7_ngram_jaccard_pairs": q_x7_ngram_jaccard_pairs,
         "x9_numeric_similarity": q_x9_numeric_similarity,
         "x10_date_similarity": q_x10_date_similarity,
         "dedup_exact": q_dedup_exact,
@@ -444,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "bca_cooc": q_bca_cooc,
         "glove_train_smoke": q_glove_train_smoke,
+        "glove_adam_smoke": q_glove_adam_smoke,
+        "glove_pglove_amsgrad_smoke": q_glove_pglove_amsgrad_smoke,
     }
 
 
@@ -570,6 +689,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id AS i, event_type AS j, round(sum(value), 4) AS x
             FROM events GROUP BY 1, 2
         """,
+        "x1_jarowinkler_pairs": """
+            SELECT a.p_partkey AS a, b.p_partkey AS b,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+            FROM part a JOIN part b
+              ON a.p_partkey < b.p_partkey AND a.p_partkey < 200 AND b.p_partkey < 200
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.75
+        """,
+        "x3_token_jaccard_pairs": """
+            WITH toks AS (
+                SELECT p_partkey,
+                       p_name,
+                       list_distinct(list_filter(
+                           list_transform(string_split(p_name, ' '), t -> trim(t)),
+                           t -> length(t) > 1 AND NOT list_contains(
+                               ['the','of','and','a','an','to','in','is','you','that','it',
+                                'for','on','from','are','as','with','at','or','by','but','if'], t)
+                       )) AS tk
+                FROM part WHERE p_partkey < 250
+            ), scored AS (
+                SELECT a.p_partkey AS a, b.p_partkey AS b,
+                       CASE WHEN a.p_name = b.p_name THEN 1.0
+                            WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.tk, b.tk))) END AS sim
+                FROM toks a JOIN toks b ON a.p_partkey < b.p_partkey
+            )
+            SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
+        "x7_ngram_jaccard_pairs": """
+            WITH norm AS (
+                SELECT p_partkey, p_name,
+                       regexp_replace(p_name, '\\s+', ' ', 'g') AS t
+                FROM part WHERE p_partkey < 250
+            ), sh AS (
+                SELECT p_partkey,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(length(t) - 2, 0)),
+                           g -> substring(t, g, 3))) AS gs
+                FROM norm
+            ), scored AS (
+                SELECT a.p_partkey AS a, b.p_partkey AS b,
+                       CASE WHEN na.p_name = nb.p_name THEN 1.0
+                            WHEN len(list_distinct(list_concat(a.gs, b.gs))) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.gs, b.gs))) END AS sim
+                FROM sh a JOIN sh b ON a.p_partkey < b.p_partkey
+                JOIN norm na ON na.p_partkey = a.p_partkey
+                JOIN norm nb ON nb.p_partkey = b.p_partkey
+            )
+            SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
         "x2_levenshtein_pairs": """
             SELECT a.p_partkey AS a, b.p_partkey AS b,
                    round(1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
@@ -625,7 +795,7 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i
             JOIN sizes sa ON i.a = sa.doc_id
             JOIN sizes sb ON i.b = sb.doc_id
-            WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.8
+            WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.6
         """,
         "dedup_embedding_cosine": """
             WITH scored AS (
@@ -637,7 +807,7 @@ def oracle_sql() -> dict[str, str]:
                        AS cos
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             )
-            SELECT a, b, round(cos, 5) AS cos FROM scored WHERE cos >= 0.95
+            SELECT a, b, round(cos, 5) AS cos FROM scored WHERE cos >= 0.4
         """,
         "ann_brute_topk": """
             WITH scored AS (

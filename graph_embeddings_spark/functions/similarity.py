@@ -316,6 +316,22 @@ def token_jaccard_col(a: Column, b: Column) -> Column:
     )
 
 
+def ngram_jaccard_col(a: Column, b: Column, k: int = 3) -> Column:
+    """X7 as JVM column math: distinct char k-shingle sets over the
+    whitespace-collapsed string (same profile as ngram_jaccard_py /
+    debatty ShingleBased — no lowercase, no trim)."""
+    from .lsh import char_shingles_col
+
+    sa, sb = char_shingles_col(a, k), char_shingles_col(b, k)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return (
+        F.when(a == b, F.lit(1.0))
+        .when(union == 0, F.lit(0.0))
+        .otherwise(inter.cast("double") / union)
+    )
+
+
 def normalized_levenshtein_col(a: Column, b: Column) -> Column:
     """X2 via the builtin levenshtein."""
     m = F.greatest(F.length(a), F.length(b))
