@@ -379,6 +379,19 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     )
 
 
+def q_dedup_embedding_cosine_lsh(spark, sf_dir):
+    """The scale path of embedding dedup: hyperplane sign-band blocking +
+    exact rescore (never all-pairs). Rows-only check; the brute query above
+    is its exact oracle (recall gated in tests/test_datapipe.py)."""
+    from graph_embeddings_spark.datapipe.dedup import cosine_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()["embedding"])
+    return cosine_dedup_pairs(emb, threshold=0.4, strategy="lsh", dim=dim).select(
+        "a", "b", F.round("cos", 5).alias("cos")
+    )
+
+
 def q_ann_brute_topk(spark, sf_dir):
     from graph_embeddings_spark.datapipe.ann import brute_topk
 
@@ -552,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "centroid_by_label": q_centroid_by_label,

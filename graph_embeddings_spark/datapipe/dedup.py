@@ -228,27 +228,68 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3, bands: int = 4) -> Data
     )
 
 
-def cosine_dedup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+def cosine_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    strategy: str = "brute",
+    dim: int | None = None,
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
     """-> (a, b, cos >= threshold) over embeddings(vec_id, embedding).
 
-    Brute all-pairs via self-join (exact; fine to ~10^5 rows). The scale
-    path buckets by random-hyperplane sign bands first (ann.lsh_buckets) and
-    runs this within buckets."""
+    strategy='brute': all-pairs self-join — exact; the small-set path and
+    the oracle for the approximate one (bounded to ~10^5 rows).
+    strategy='lsh': the 10^12-row path — random-hyperplane sign-band
+    blocking (the same seeded planes as ann.lsh_topk; no model object),
+    candidates are same-(band, bucket) pairs, exact cosine rescore inside.
+    Never all-pairs: per-vector work is O(n_planes·dim) bucketing plus
+    bucket-sized joins. Recall at θ=0.95 with 8 planes / 4 bands ≈ 0.999
+    (P(plane splits an 18° pair) ≈ 0.1; 1-(1-0.9²)⁴). dim is required for
+    'lsh' (plane generation is per-component column math)."""
     v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
-    a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
-    b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     dot = F.aggregate(
         F.zip_with("va", "vb", lambda x, y: x.cast("double") * y), F.lit(0.0), lambda s, z: s + z
     )
     norm = lambda c: F.sqrt(
         F.aggregate(c, F.lit(0.0), lambda s, z: s + z.cast("double") * z)
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a") < F.col("b"))
-        .select(
-            "a", "b",
-            (dot / (norm(F.col("va")) * norm(F.col("vb")) + F.lit(1e-12))).alias("cos"),
+    cos = (dot / (norm(F.col("va")) * norm(F.col("vb")) + F.lit(1e-12))).alias("cos")
+    if strategy == "brute":
+        a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
+        b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b", cos)
+            .filter(F.col("cos") >= threshold)
         )
-        .filter(F.col("cos") >= threshold)
+    if strategy != "lsh":
+        raise ValueError(f"strategy must be brute/lsh, got {strategy}")
+    if dim is None:
+        raise ValueError("dim is required for the lsh strategy")
+    from .ann import hyperplane_signs
+
+    width = n_planes // bands
+    assert bands * width == n_planes, "bands must divide n_planes"
+    sig = v.select(
+        "id", "v", hyperplane_signs(F.col("v"), n_planes, dim, seed).alias("_sig")
     )
+    mask = (1 << width) - 1
+    parts = []
+    for bnd in range(bands):
+        sub = F.shiftrightunsigned(F.col("_sig"), bnd * width).bitwiseAND(F.lit(mask))
+        parts.append(sig.select("id", "v", F.lit(bnd).alias("band"), sub.alias("bucket")))
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionAll(p)
+    a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"), "band", "bucket")
+    b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band", "bucket")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .distinct()
+    )
+    return cands.select("a", "b", cos).filter(F.col("cos") >= threshold)

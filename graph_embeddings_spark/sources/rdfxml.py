@@ -1,0 +1,164 @@
+"""RDF/XML source (S1, SURVEY.md §2.1): the third Jena-autodetected format
+(util/read/JenaReader.java:28-34) — stdlib xml.etree per file, distributed
+like the Turtle reader (file = unit of parallelism; RDF/XML is a document
+format and cannot be line-split).
+
+Supported subset (the constructs real exports use):
+  * rdf:RDF root; rdf:Description and typed node elements (typed emits the
+    rdf:type triple);
+  * subjects via rdf:about / rdf:ID (resolved '#id' against xml:base) /
+    rdf:nodeID (blank) / none (fresh blank);
+  * property elements with rdf:resource (URI object), rdf:nodeID (blank),
+    text content (literal — rdf:datatype and xml:lang stripped per F4),
+    one nested node element, or rdf:parseType="Resource";
+  * non-rdf property ATTRIBUTES on node elements as literal triples.
+Unsupported (raises): rdf:parseType="Collection"/"Literal", reification
+sugar, rdf:li containers — fail loudly rather than silently drop.
+
+Output contract matches sources/ntriples.py / turtle.py:
+    triples(subj string, pred string, obj string, obj_kind tinyint)
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from pyspark.sql import DataFrame, functions as F
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+_R = "{" + RDF_NS + "}"
+_XML_BASE = "{" + XML_NS + "}base"
+_XML_LANG = "{" + XML_NS + "}lang"
+
+TRIPLES_SCHEMA = "subj string, pred string, obj string, obj_kind tinyint"
+
+
+class RdfXmlError(ValueError):
+    pass
+
+
+def _split_tag(tag: str) -> str:
+    """'{ns}local' -> 'nslocal' (RDF concatenation semantics)."""
+    if tag.startswith("{"):
+        ns, _, local = tag[1:].partition("}")
+        return ns + local
+    return tag
+
+
+class _RdfXmlParser:
+    def __init__(self, bnode_prefix: str = "g"):
+        self.bnode_prefix = bnode_prefix
+        self.bnode_n = 0
+        self.out: list[tuple[str, str, str, int]] = []
+
+    def _fresh(self) -> str:
+        self.bnode_n += 1
+        return f"_:xml-{self.bnode_prefix}-{self.bnode_n}"
+
+    def parse(self, text: str) -> list[tuple[str, str, str, int]]:
+        root = ET.fromstring(text)
+        base = root.get(_XML_BASE, "")
+        if root.tag == _R + "RDF":
+            nodes = list(root)
+        else:  # a single node element as the document root
+            nodes = [root]
+        for el in nodes:
+            self._node_element(el, base)
+        return self.out
+
+    def _subject_of(self, el: ET.Element, base: str) -> tuple[str, int]:
+        about = el.get(_R + "about")
+        if about is not None:
+            return self._resolve(about, base), 0
+        rid = el.get(_R + "ID")
+        if rid is not None:
+            return base + "#" + rid, 0
+        nid = el.get(_R + "nodeID")
+        if nid is not None:
+            return "_:" + nid, 1
+        return self._fresh(), 1
+
+    @staticmethod
+    def _resolve(iri: str, base: str) -> str:
+        if base and "://" not in iri and not iri.startswith(("urn:", "mailto:")):
+            return base + iri
+        return iri
+
+    def _node_element(self, el: ET.Element, base: str) -> tuple[str, int]:
+        base = el.get(_XML_BASE, base)
+        subj, skind = self._subject_of(el, base)
+        if el.tag != _R + "Description":
+            self.out.append((subj, RDF_NS + "type", _split_tag(el.tag), 0))
+        # property attributes (non-rdf, non-xml namespaces) -> literals
+        for attr, val in el.attrib.items():
+            if attr.startswith(_R) or attr.startswith("{" + XML_NS + "}"):
+                continue
+            self.out.append((subj, _split_tag(attr), val, 2))
+        for prop in el:
+            self._property_element(subj, prop, base)
+        return subj, skind
+
+    def _property_element(self, subj: str, prop: ET.Element, base: str):
+        pred = _split_tag(prop.tag)
+        if pred.startswith(RDF_NS) and pred not in (RDF_NS + "type", RDF_NS + "value"):
+            if pred == RDF_NS + "li" or not pred[len(RDF_NS):].lstrip("_").isdigit():
+                raise RdfXmlError(f"unsupported rdf construct {pred}")
+        ptype = prop.get(_R + "parseType")
+        res = prop.get(_R + "resource")
+        nid = prop.get(_R + "nodeID")
+        children = list(prop)
+        if ptype == "Resource":
+            anon = self._fresh()
+            self.out.append((subj, pred, anon, 1))
+            for sub in children:
+                self._property_element(anon, sub, base)
+        elif ptype is not None:
+            raise RdfXmlError(f"unsupported parseType {ptype}")
+        elif res is not None:
+            self.out.append((subj, pred, self._resolve(res, base), 0))
+        elif nid is not None:
+            self.out.append((subj, pred, "_:" + nid, 1))
+        elif children:
+            if len(children) != 1:
+                raise RdfXmlError("property element with multiple child nodes")
+            obj, okind = self._node_element(children[0], base)
+            self.out.append((subj, pred, obj, okind))
+        else:
+            # literal: lexical form only (F4 — datatype/lang dropped)
+            self.out.append((subj, pred, prop.text or "", 2))
+
+
+def parse_rdfxml_text(text: str, bnode_prefix: str = "g") -> list[tuple[str, str, str, int]]:
+    return _RdfXmlParser(bnode_prefix).parse(text)
+
+
+def parse_rdfxml_files(files: DataFrame, path_col: str = "path", text_col: str = "text") -> DataFrame:
+    import hashlib
+
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = {"subj": [], "pred": [], "obj": [], "obj_kind": []}
+            for path, text in zip(pdf[path_col], pdf[text_col]):
+                pfx = hashlib.sha1(str(path).encode()).hexdigest()[:12]
+                for s, p, o, k in parse_rdfxml_text(text, pfx):
+                    rows["subj"].append(s)
+                    rows["pred"].append(p)
+                    rows["obj"].append(o)
+                    rows["obj_kind"].append(k)
+            pdf_out = pd.DataFrame(rows)
+            pdf_out["obj_kind"] = pdf_out["obj_kind"].astype("int8")
+            yield pdf_out
+
+    return files.mapInPandas(run, TRIPLES_SCHEMA)
+
+
+def read_rdfxml(spark, path: str) -> DataFrame:
+    files = (
+        spark.read.text(path, wholetext=True)
+        .select(F.input_file_name().alias("path"), F.col("value").alias("text"))
+        .repartition("path")
+    )
+    return parse_rdfxml_files(files)

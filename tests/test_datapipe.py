@@ -85,6 +85,32 @@ def test_cosine_dedup_pairs(spark):
     assert (0, 1) in got and got[(0, 1)] > 0.99
 
 
+def test_cosine_dedup_lsh_recall_vs_brute(spark):
+    """The sign-band scale path must recover (nearly) every brute pair:
+    clustered vectors (5 clusters x 4 near-identical members) make the true
+    pair set dense; demand >= 90% recall and NO false accepts (the rescore
+    is exact, so precision is 1.0 by construction)."""
+    rng = np.random.default_rng(7)
+    dim = 8
+    rows = []
+    vid = 0
+    for c in range(5):
+        center = rng.normal(size=dim)
+        for _ in range(4):
+            v = center + 0.01 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    brute = {(r["a"], r["b"]) for r in cosine_dedup_pairs(emb, 0.95).collect()}
+    lsh = {
+        (r["a"], r["b"])
+        for r in cosine_dedup_pairs(emb, 0.95, strategy="lsh", dim=dim).collect()
+    }
+    assert brute, "fixture must produce true pairs"
+    assert lsh <= brute  # exact rescore: no false accepts
+    assert len(lsh & brute) / len(brute) >= 0.9
+
+
 def test_brute_topk_matches_numpy(spark):
     emb = _emb_df(spark)
     probes = emb.filter("vec_id < 2")
