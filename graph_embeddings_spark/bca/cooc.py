@@ -193,32 +193,32 @@ def normalize_bcvs(bcv: DataFrame, mode: str) -> DataFrame:
     raise ValueError(f"unknown normalize mode {mode}")
 
 
-def _collect_csr(edges: DataFrame, direction: str, n: int):
-    """Driver-side CSR adjacency (indptr, indices, weights, wsum) for the
-    broadcast fast path. Requires node ids in [0, n)."""
+def _edges_to_pandas(edges: DataFrame):
+    """Arrow-batched transfer of (src, dst, weight) — never driver-side Row
+    objects (a 5M-edge Row collect is multi-GB of boxed heap; the Arrow
+    frame is three primitive columns, ~100 MB)."""
+    return edges.select("src", "dst", "weight").toPandas()
+
+
+def _csr_from_pandas(pdf, direction: str, n: int):
+    """pandas (src, dst, weight) -> CSR (indptr, indices, weights, wsum),
+    all numpy from the Arrow columns, zero Python-object boxing. Requires
+    node ids in [0, n)."""
     import numpy as np
 
+    s = pdf["src"].to_numpy(dtype=np.int64, copy=False)
+    d = pdf["dst"].to_numpy(dtype=np.int64, copy=False)
+    w0 = pdf["weight"].to_numpy(dtype=np.float64, copy=False)
     if direction == "out":
-        rows = edges.select("src", "dst", "weight").collect()
-        pairs = [(r["src"], r["dst"], r["weight"]) for r in rows]
+        src, dst, w = s, d, w0
     elif direction == "in":
-        rows = edges.select("src", "dst", "weight").collect()
-        pairs = [(r["dst"], r["src"], r["weight"]) for r in rows]
+        src, dst, w = d, s, w0
     else:  # both
-        rows = edges.select("src", "dst", "weight").collect()
-        pairs = [(r["src"], r["dst"], r["weight"]) for r in rows] + [
-            (r["dst"], r["src"], r["weight"]) for r in rows
-        ]
-    if pairs:
-        src = np.array([p[0] for p in pairs], dtype=np.int64)
-        dst = np.array([p[1] for p in pairs], dtype=np.int64)
-        w = np.array([p[2] for p in pairs], dtype=np.float64)
-        order = np.argsort(src, kind="stable")
-        src, dst, w = src[order], dst[order], w[order]
-    else:
-        src = np.zeros(0, dtype=np.int64)
-        dst = np.zeros(0, dtype=np.int64)
-        w = np.zeros(0, dtype=np.float64)
+        src = np.concatenate([s, d])
+        dst = np.concatenate([d, s])
+        w = np.concatenate([w0, w0])
+    order = np.argsort(src, kind="stable")
+    src, dst, w = src[order], dst[order], np.ascontiguousarray(w[order])
     indptr = np.searchsorted(src, np.arange(n + 1))
     wsum = np.zeros(n)
     np.add.at(wsum, src, w)
@@ -287,6 +287,7 @@ def _broadcast_bca(
     epsilon: float,
     directed: bool,
     n: int,
+    edge_pdf=None,
 ) -> DataFrame:
     """Broadcast fast path: ship the CSR adjacency to every task (like a
     broadcast hash join's build side) and run the exact per-root reference
@@ -299,12 +300,12 @@ def _broadcast_bca(
     import pandas as pd
 
     spark = nodes.sparkSession
+    if edge_pdf is None:
+        edge_pdf = _edges_to_pandas(edges)
     if directed:
-        csr_f = _collect_csr(edges, "out", n)
-        csr_r = _collect_csr(edges, "in", n)
-        csrs = [csr_f, csr_r]
+        csrs = [_csr_from_pandas(edge_pdf, "out", n), _csr_from_pandas(edge_pdf, "in", n)]
     else:
-        csrs = [_collect_csr(edges, "both", n)]
+        csrs = [_csr_from_pandas(edge_pdf, "both", n)]
     bc = spark.sparkContext.broadcast(csrs)
 
     def run(batches):
@@ -358,7 +359,7 @@ def bca_cooccurrence(
     salt_degree: int = 0,
     use_checkpoint: bool = True,
     strategy: str = "auto",
-    broadcast_edge_limit: int = 5_000_000,
+    broadcast_edge_limit: int = 2_000_000,
 ) -> CoocResult:
     """Full BCA stage (BookmarkColoring.java:32-120 analog).
 
@@ -372,23 +373,45 @@ def bca_cooccurrence(
         run the exact sequential per-root reference kernel in mapInPandas
         (zero shuffles; one task per root chunk — the reference's one-job-
         per-bookmark thread pool, BookmarkColoring.java:47-71, mapped to
-        tasks). Right whenever the graph fits in memory (edges ~ tens of
-        bytes each; 5M edges ≈ 150 MB broadcast).
+        tasks). Right whenever the graph fits in memory (CSR ≈ 24 B/edge;
+        2M edges ≈ 50 MB broadcast). Edges travel driver-side as ONE Arrow
+        frame (toPandas), never boxed Rows.
       'loop': the level-synchronous DataFrame loop — the beyond-memory path
         for graphs too big to broadcast.
-      'auto': broadcast iff edge count <= broadcast_edge_limit.
+      'auto': broadcast iff edge count <= broadcast_edge_limit, probed with
+        a single limit+1 Arrow pull that doubles as the build-side data
+        (no separate count() action).
     """
     rounds = max_rounds or max_rounds_bound(alpha, epsilon)
     roots = nodes.select("node_id")
     n_nodes = nodes.count()
 
+    edge_pdf = None
     if strategy == "auto":
-        strategy = "broadcast" if edges.count() <= broadcast_edge_limit else "loop"
+        # ONE action decides the strategy AND feeds the broadcast build:
+        # pull at most limit+1 edge rows via Arrow; under the limit the
+        # frame IS the CSR input (no second scan), over it -> loop path
+        # (the analog of a broadcast join's build-side size probe)
+        probe = _edges_to_pandas(edges.limit(broadcast_edge_limit + 1))
+        if len(probe) <= broadcast_edge_limit:
+            strategy, edge_pdf = "broadcast", probe
+        else:
+            strategy = "loop"
     if strategy == "broadcast":
-        bcv = _broadcast_bca(nodes, edges, alpha, epsilon, directed, int(n_nodes))
+        bcv = _broadcast_bca(
+            nodes, edges, alpha, epsilon, directed, int(n_nodes), edge_pdf=edge_pdf
+        )
+    adj_caches: list[DataFrame] = []
+    if strategy == "broadcast":
+        pass
     elif directed:
-        adj_out = build_adjacency(edges, "out", salt_degree)
-        adj_in = build_adjacency(edges, "in", salt_degree)
+        # persisted: every round's expansion join reads the adjacency; an
+        # unpersisted plan would re-shuffle (and re-scan) it per round, and
+        # the cached InMemoryTableScan keeps the repartition('node') output
+        # partitioning so the join only exchanges the frontier side
+        adj_out = build_adjacency(edges, "out", salt_degree).persist()
+        adj_in = build_adjacency(edges, "in", salt_degree).persist()
+        adj_caches += [adj_out, adj_in]
         fwd = _one_direction(roots, adj_out, alpha, epsilon, rounds, use_checkpoint, salt_degree)
         rev = _one_direction(roots, adj_in, alpha, epsilon, rounds, use_checkpoint, salt_degree)
         bcv = (
@@ -397,7 +420,8 @@ def bca_cooccurrence(
             .agg(F.sum("x").alias("x"))
         )
     else:
-        adj = build_adjacency(edges, "both", salt_degree)
+        adj = build_adjacency(edges, "both", salt_degree).persist()
+        adj_caches.append(adj)
         bcv = _one_direction(roots, adj, alpha, epsilon, rounds, use_checkpoint, salt_degree)
 
     normed = normalize_bcvs(bcv, normalize)
@@ -407,6 +431,8 @@ def bca_cooccurrence(
     agg = normed.agg(
         F.count("*").alias("n"), F.max("x").alias("mx")
     ).collect()[0]
+    for a in adj_caches:  # bcv is materialized now; drop the round caches
+        a.unpersist()
     vocab = n_nodes
     return CoocResult(
         cooc=normed,

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .config import BLANK, LITERAL, PREDICATE, URI, OutputConfig
+from .config import BLANK, LITERAL, PREDICATE, URI, OutputConfig, PipelineConfig
 
 _TYPE_NAMES = {URI: "URI", BLANK: "BLANK", LITERAL: "LITERAL", PREDICATE: "PREDICATE"}
 
@@ -77,14 +77,79 @@ def dict_tsv_lines(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def write_tsv(embeddings: DataFrame, out_dir: str, name: str = "embedding") -> None:
+def config_header_lines(config: PipelineConfig) -> list[str]:
+    """The '#' comment header both TSV files start with —
+    EmbeddingTextWriter.writeConfig (:41-70) line for line."""
+    lines = [
+        "# Starting the embedding creation process with following settings:",
+        f"# Graph File: {config.graph}",
+        f"# Embedding dimensions: {config.dim}",
+        f"# Threads: {config.threads}",
+        f"# BCA Alpha: {config.bca.alpha}",
+        f"# BCA Epsilon: {config.bca.epsilon}",
+        f"# BCA Directed: {str(config.bca.directed).lower()}",
+        f"# BCA normalize: {config.bca.normalize}",
+        f"# Gradient Descent Algorithm: {config.opt.method}",
+        f"# {config.method} Tolerance: {config.opt.tolerance}",
+        f"# {config.method} Maximum Iterations: {config.opt.maxiter}",
+        # PCA is unimplemented upstream too (Main.java:43-44)
+        "# No PCA will be performed",
+    ]
+    if config.weights:
+        lines.append("# Using weights, predicates that are not listed are ignored:")
+        for k, v in config.weights.items():
+            lines.append(f"# {k}: {v}")
+    else:
+        lines.append("# No weights specified, using linear weight")
+    if config.similarity:
+        lines.append("# Using the following similarity metrics:")
+        for s in config.similarity:
+            # SimilarityGroup.toString (Configuration.java:230-241); its
+            # embedded '\n' becomes a separate '#' line in the writer
+            desc = f"{s.source_predicate} -> {s.target_predicate}"
+            detail = f" method:{s.method}, threshold: {s.threshold}"
+            if s.method in ("ngram_jaccard", "ngram_cosine"):
+                detail += f", ngram: {s.ngram}"
+            elif s.method == "numeric":
+                detail += f", smooth: {s.smooth}"
+            elif s.method.startswith("date_"):
+                detail += f", pattern:{s.pattern}, smooth: {s.smooth}, time: {s.time}"
+            lines.append(f"# {desc}")
+            lines.append(f"#{detail}")
+    else:
+        lines.append("# No similarity matching will be performed")
+    return lines
+
+
+def _write_lines_with_header(df: DataFrame, header: list[str], path: str) -> None:
+    """Header rows sort before every data row (order key -len(header)..-1 vs
+    node_id >= 0); the global orderBy range-partitions, so part files read
+    in order reproduce the reference's byte layout."""
+    spark = df.sparkSession
+    hdr = spark.createDataFrame(
+        [(i - len(header), line) for i, line in enumerate(header)],
+        "node_id long, line string",
+    )
+    df.select("node_id", "line").unionByName(hdr).orderBy("node_id").select(
+        "line"
+    ).write.mode("overwrite").text(path)
+
+
+def write_tsv(
+    embeddings: DataFrame,
+    out_dir: str,
+    name: str = "embedding",
+    config: PipelineConfig | None = None,
+) -> None:
     """Parity TSV export: <dir>/<name>.vectors.tsv + <name>.dict.tsv, rows
     aligned by a deterministic node_id order (the reference iterates the
     co-occurrence index order; any stable shared order preserves the
-    vector<->key alignment contract)."""
-    vectors_tsv_lines(embeddings).orderBy("node_id").select("line").write.mode(
-        "overwrite"
-    ).text(f"{out_dir}/{name}.vectors.tsv")
-    dict_tsv_lines(embeddings).orderBy("node_id").select("line").write.mode(
-        "overwrite"
-    ).text(f"{out_dir}/{name}.dict.tsv")
+    vector<->key alignment contract). With a config, both files start with
+    the reference's '#' settings header (EmbeddingTextWriter.java:41-70)."""
+    header = config_header_lines(config) if config is not None else []
+    _write_lines_with_header(
+        vectors_tsv_lines(embeddings), header, f"{out_dir}/{name}.vectors.tsv"
+    )
+    _write_lines_with_header(
+        dict_tsv_lines(embeddings), header, f"{out_dir}/{name}.dict.tsv"
+    )

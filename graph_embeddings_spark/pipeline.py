@@ -219,7 +219,10 @@ def run_pipeline(
         embeddings = _resumable(spark, work_dir, "embeddings", lambda: embeddings, False)
         filtered = filter_embeddings(embeddings, config.output)
         if work_dir:
-            write_tsv(filtered, os.path.join(work_dir, "export"), config.output.name)
+            write_tsv(
+                filtered, os.path.join(work_dir, "export"), config.output.name,
+                config=config,
+            )
 
     return PipelineResult(
         triples=triples, nodes=nodes, edges=all_edges, cooc=cooc,
