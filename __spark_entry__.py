@@ -413,6 +413,30 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: spherical-kmeans inverted lists, nprobe scan,
+    exact rerank (rows-only; brute query is the oracle, recall gated in
+    tests/test_datapipe.py)."""
+    from graph_embeddings_spark.datapipe.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, probes, k=10, n_centroids=8, nprobe=3).select(
+        "probe_id", "vec_id", F.round("cos", 5).alias("cos"), "rank"
+    )
+
+
+def q_multimodal_image_features(spark, sf_dir):
+    """Multimodal plumbing visible to the harness: deterministic synthetic
+    media table -> Arrow-batched histogram features (codec is the documented
+    deterministic stub; the Spark plan — schemas, batching, partition
+    behavior — is the real thing being exercised)."""
+    from graph_embeddings_spark.datapipe.multimodal import image_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 120, seed=7)
+    return image_features(media).select("media_id", F.size("feat").alias("n_bins"))
+
+
 def q_centroid_by_label(spark, sf_dir):
     """Vector aggregate: per-label centroid norm (elementwise mean)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -568,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_image_features": q_multimodal_image_features,
         "centroid_by_label": q_centroid_by_label,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,

@@ -200,3 +200,46 @@ def test_media_generation_partition_independent(spark):
     a = {tuple(r) for r in synthetic_media_df(spark, 20, partitions=1).collect()}
     b = {tuple(r) for r in synthetic_media_df(spark, 20, partitions=7).collect()}
     assert a == b
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with nprobe=half the lists must recover most of brute top-k on
+    clustered data; with nprobe == n_centroids it must match brute exactly
+    (full scan through the inverted lists)."""
+    from graph_embeddings_spark.datapipe.ann import brute_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    dim = 8
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = rng.normal(size=dim)
+        for _ in range(10):
+            v = center + 0.05 * rng.normal(size=dim)
+            rows.append((vid, [float(x) for x in v], c))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    probes = emb.filter("vec_id < 3")
+    brute = {
+        (r["probe_id"], r["vec_id"])
+        for r in brute_topk(emb, probes, k=5).collect()
+    }
+    full = {
+        (r["probe_id"], r["vec_id"])
+        for r in ivf_topk(emb, probes, k=5, n_centroids=4, nprobe=4).collect()
+    }
+    assert full == brute  # nprobe = all lists -> exact
+    part = {
+        (r["probe_id"], r["vec_id"])
+        for r in ivf_topk(emb, probes, k=5, n_centroids=4, nprobe=2).collect()
+    }
+    assert len(part & brute) / len(brute) >= 0.8
+
+
+def test_ivf_centroids_deterministic(spark):
+    from graph_embeddings_spark.datapipe.ann import ivf_train_centroids
+
+    emb = _emb_df(spark, n=30)
+    a = ivf_train_centroids(emb, 4, iters=2, seed=5)
+    b = ivf_train_centroids(emb.repartition(7), 4, iters=2, seed=5)
+    assert np.allclose(a, b)
