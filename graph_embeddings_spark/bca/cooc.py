@@ -101,10 +101,18 @@ def _one_direction(
     max_rounds: int,
     use_checkpoint: bool = True,
     salt_degree: int = 0,
+    probe_every: int = 4,
 ) -> DataFrame:
     """Run the paint loop for every root in `roots` (node_id long) against a
     prebuilt adjacency; returns un-normalized bcv(i, j, x) with the root
-    entry present (i == root id, j == painted node)."""
+    entry present (i == root id, j == painted node).
+
+    Every round is eagerly localCheckpoint'ed (the retained-paint parts
+    reference each round's state — lazy rounds would be recomputed by the
+    final union, measured 6x slower). The separate EMPTINESS probe is the
+    second job per round; it only decides early exit, so it runs every
+    `probe_every` rounds — the decay bound caps wasted empty rounds at
+    K-1, each of which is a no-op job over an empty checkpointed state."""
     wet = roots.select(
         F.col("node_id").alias("root"),
         F.col("node_id").alias("node"),
@@ -140,7 +148,7 @@ def _one_direction(
         wet = moved.groupBy("root", "node").agg(F.sum("paint").alias("paint"))
         if use_checkpoint:
             wet = wet.localCheckpoint(eager=True)
-            if not wet.take(1):
+            if _round % probe_every == probe_every - 1 and not wet.take(1):
                 break
         # without checkpointing we rely on the max_rounds bound only
     bcv = retained_parts[0]

@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--config", help="reference-schema YAML config")
     p.add_argument("--input", help="web-pages table path (url, warc_ts, html, text, lang)")
     p.add_argument("--input-format", default="parquet", help="parquet|iceberg|...")
+    p.add_argument("--rdf-input", help="RDF graph file/dir (the reference's own input "
+                   "shape, Main.java:29-78): skips the web-extraction tier and runs "
+                   "materialize -> similarity -> BCA -> GloVe. Defaults to the "
+                   "config's `graph:` path when a config is given and no --input.")
+    p.add_argument("--rdf-format", default=None, help="ntriples|turtle|rdfxml "
+                   "(default: autodetect from extension)")
     p.add_argument("--alias-dict", help="alias table path (alias, entity_id, prior); "
                                         "defaults to the synthetic world's dictionary")
     p.add_argument("--work-dir", required=True, help="checkpoint/output directory")
@@ -58,26 +64,41 @@ def main(argv: list[str] | None = None) -> int:
     else:
         cfg = PipelineConfig(output=OutputConfig(uri=[], blank=[], literal=[]))
 
-    world = build_world(cfg.seed, 120)
-    if args.synthetic_pages:
-        pages = web_pages_df(spark, world, args.synthetic_pages)
-    elif args.input:
-        pages = spark.read.format(args.input_format).load(args.input)
-    else:
-        print("error: need --input or --synthetic-pages", file=sys.stderr)
-        return 2
-
-    if args.alias_dict:
-        alias_df = spark.read.parquet(args.alias_dict)
-    else:
-        alias_df = alias_dict_df(spark, world)
-    aliases = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
-
-    res = run_pipeline(
-        spark, pages, alias_df, aliases, cfg,
-        work_dir=args.work_dir, resume=not args.no_resume,
-        train=not args.no_train, n_shards=args.n_shards, batch=args.batch,
+    rdf_path = args.rdf_input or (
+        cfg.graph if (args.config and cfg.graph and not args.input and not args.synthetic_pages) else None
     )
+    if rdf_path:
+        # the reference's own workflow: RDF file -> embeddings
+        from .pipeline import run_graph_pipeline
+        from .sources.reader import read_rdf
+
+        triples = read_rdf(spark, rdf_path, fmt=args.rdf_format)
+        res = run_graph_pipeline(
+            spark, triples, cfg,
+            work_dir=args.work_dir, resume=not args.no_resume,
+            train=not args.no_train, n_shards=args.n_shards, batch=args.batch,
+        )
+    else:
+        world = build_world(cfg.seed, 120)
+        if args.synthetic_pages:
+            pages = web_pages_df(spark, world, args.synthetic_pages)
+        elif args.input:
+            pages = spark.read.format(args.input_format).load(args.input)
+        else:
+            print("error: need --input, --rdf-input or --synthetic-pages", file=sys.stderr)
+            return 2
+
+        if args.alias_dict:
+            alias_df = spark.read.parquet(args.alias_dict)
+        else:
+            alias_df = alias_dict_df(spark, world)
+        aliases = [r["alias"] for r in alias_df.select("alias").distinct().collect()]
+
+        res = run_pipeline(
+            spark, pages, alias_df, aliases, cfg,
+            work_dir=args.work_dir, resume=not args.no_resume,
+            train=not args.no_train, n_shards=args.n_shards, batch=args.batch,
+        )
     summary = {
         "triples": res.triples.count(),
         "nodes": res.nodes.count(),

@@ -139,6 +139,41 @@ def run_pipeline(
 
     triples = _resumable(spark, work_dir, "triples", build_triples, resume)
 
+    return run_graph_pipeline(
+        spark, triples, config,
+        work_dir=work_dir, resume=resume, train=train,
+        n_shards=n_shards, batch=batch, weights=weights,
+    )
+
+
+def run_graph_pipeline(
+    spark: SparkSession,
+    triples: DataFrame,
+    config: PipelineConfig,
+    *,
+    work_dir: str | None = None,
+    resume: bool = True,
+    train: bool = True,
+    n_shards: int | None = None,
+    batch: int = 4096,
+    weights: dict[str, float] | None = None,
+) -> PipelineResult:
+    """The reference's own entry shape (Main.runProgram, Main.java:29-78):
+    RDF triples in -> graph -> similarity edges -> BCA -> GloVe -> filtered
+    embeddings. `run_pipeline` (web pages in) delegates here after its
+    extraction tier; a reference user pointing at a .ttl file enters here
+    directly (cli --rdf-input / config `graph:`).
+
+    weights: predicate -> weight (F1). The reference requires an explicit
+    map (NPEs without one, Rdf2GrphConverter.java:96); absent one we weight
+    every observed predicate 1.0 — graceful where upstream crashes, and the
+    predicate dictionary is <= 127 entries by contract (A2)."""
+    config.check()
+    if weights is None:
+        weights = config.weights or {
+            r["pred"]: 1.0 for r in triples.select("pred").distinct().collect()
+        }
+
     # -- graph materialization (F1/A1/A2) -----------------------------------
     node_caches: list = []
 

@@ -120,3 +120,34 @@ def test_streaming_triples_end_to_end(tmp_path, spark, world):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(out)).count() == want.count()
+
+
+def test_cli_rdf_input_end_to_end(tmp_path, capsys, spark):
+    """The reference's own workflow (Main.java:29-78): a Turtle file + YAML
+    config straight to trained embeddings + TSV export, via the CLI."""
+    from graph_embeddings_spark.cli import main
+
+    ttl = tmp_path / "graph.ttl"
+    lines = ["@prefix ex: <http://example.org/> ."]
+    for i in range(12):
+        lines.append(f"ex:p{i} ex:knows ex:p{(i + 1) % 12} .")
+        lines.append(f'ex:p{i} ex:name "person {i}" .')
+    ttl.write_text("\n".join(lines) + "\n")
+    cfg = tmp_path / "run.config.yml"
+    cfg.write_text(
+        f"graph: {ttl}\n"
+        "dim: 4\n"
+        "opt:\n  method: adagrad\n  maxiter: 2\n  tolerance: 0.0\n"
+        "bca:\n  alpha: 0.3\n  epsilon: 0.001\n"
+        "output:\n  uri: []\n  literal: []\n"
+    )
+    rc = main(["--config", str(cfg), "--work-dir", str(tmp_path / "wd")])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["triples"] == 24
+    assert out["nodes"] == 24  # 12 URIs + 12 per-predicate literals
+    assert out["epochs"] == 2 and out["embeddings"] == 24
+    import glob
+
+    vec_parts = glob.glob(str(tmp_path / "wd" / "export" / "*.vectors.tsv" / "part-*"))
+    assert vec_parts, "TSV export written"
