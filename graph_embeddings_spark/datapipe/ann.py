@@ -192,22 +192,31 @@ def lsh_topk(
     candidates per band (multi-band OR improves recall). Approximate: rank
     is within the candidate set."""
     width = n_planes // bands
-    c = corpus.select("vec_id", F.col("embedding").alias("_cv"),
-                      hyperplane_signs(F.col("embedding"), n_planes, dim, seed).alias("_sig"))
-    p = probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv"),
-                      hyperplane_signs(F.col("embedding"), n_planes, dim, seed).alias("_psig"))
     mask = (1 << width) - 1
-    parts_c, parts_p = [], []
-    for b in range(bands):
-        sub = F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(mask))
-        parts_c.append(c.select("vec_id", "_cv", F.lit(b).alias("band"), sub.alias("bucket")))
-        subp = F.shiftrightunsigned(F.col("_psig"), b * width).bitwiseAND(F.lit(mask))
-        parts_p.append(p.select("probe_id", "_pv", F.lit(b).alias("band"), subp.alias("bucket")))
-    cb, pb = parts_c[0], parts_p[0]
-    for x in parts_c[1:]:
-        cb = cb.unionAll(x)
-    for x in parts_p[1:]:
-        pb = pb.unionAll(x)
+
+    def _banded(df, id_name, vec_name):
+        # single explode: the hyperplane dot products evaluate once per row
+        # (a per-band union re-runs them per branch)
+        sig = df.select(
+            F.col(id_name), F.col(vec_name),
+            hyperplane_signs(F.col(vec_name), n_planes, dim, seed).alias("_sig"),
+        )
+        subs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+        return sig.select(id_name, vec_name, F.explode(F.array(*subs)).alias("bb")).select(
+            id_name, vec_name, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    cb = _banded(corpus.select("vec_id", F.col("embedding").alias("_cv")), "vec_id", "_cv")
+    pb = _banded(
+        probes.select(F.col("vec_id").alias("probe_id"), F.col("embedding").alias("_pv")),
+        "probe_id", "_pv",
+    )
     cands = (
         pb.join(cb, ["band", "bucket"])
         .filter(F.col("probe_id") != F.col("vec_id"))

@@ -206,16 +206,30 @@ def simhash_col(c, bits: int = 64):
 def simhash_dedup(docs: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
     """-> (a, b, hamming <= max_hamming) via banded simhash: split the 64-bit
     key into `bands` sub-keys; pigeonhole guarantees recall when
-    max_hamming < bands. Exact hamming re-check with bit_count."""
+    max_hamming < bands. Exact hamming re-check with bit_count.
+
+    The band rows come from ONE explode over the computed simhash (a
+    union-of-selects would re-evaluate the 64-bit vote aggregate once per
+    band branch), and the banded relation is persisted because the
+    candidate self-join reads it twice."""
+    from pyspark import StorageLevel
+
     sh = docs.select(F.col("doc_id").alias("id"), simhash_col(F.col("text")).alias("sim"))
-    parts = []
     width = 64 // bands
-    for b in range(bands):
-        sub = F.shiftrightunsigned(F.col("sim"), b * width).bitwiseAND(F.lit((1 << width) - 1))
-        parts.append(sh.select("id", "sim", F.lit(b).alias("band"), sub.alias("bucket")))
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionAll(p)
+    subs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col("sim"), b * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = (
+        sh.select("id", "sim", F.explode(F.array(*subs)).alias("bb"))
+        .select("id", "sim", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = banded.select(F.col("id").alias("a"), F.col("sim").alias("sima"), "band", "bucket")
     b2 = banded.select(F.col("id").alias("b"), F.col("sim").alias("simb"), "band", "bucket")
     cands = (
@@ -273,17 +287,27 @@ def cosine_dedup_pairs(
 
     width = n_planes // bands
     assert bands * width == n_planes, "bands must divide n_planes"
+    from pyspark import StorageLevel
+
     sig = v.select(
         "id", "v", hyperplane_signs(F.col("v"), n_planes, dim, seed).alias("_sig")
     )
     mask = (1 << width) - 1
-    parts = []
-    for bnd in range(bands):
-        sub = F.shiftrightunsigned(F.col("_sig"), bnd * width).bitwiseAND(F.lit(mask))
-        parts.append(sig.select("id", "v", F.lit(bnd).alias("band"), sub.alias("bucket")))
-    banded = parts[0]
-    for p in parts[1:]:
-        banded = banded.unionAll(p)
+    # one explode computes the hyperplane signs once per row (a per-band
+    # union would re-run the dim x n_planes dot products per branch);
+    # persisted because the self-join reads it twice
+    subs = [
+        F.struct(
+            F.lit(bnd).alias("band"),
+            F.shiftrightunsigned(F.col("_sig"), bnd * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for bnd in range(bands)
+    ]
+    banded = (
+        sig.select("id", "v", F.explode(F.array(*subs)).alias("bb"))
+        .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"), "band", "bucket")
     b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band", "bucket")
     cands = (

@@ -172,6 +172,8 @@ def lsh_candidate_pairs_filtered(
     distinct — instead of re-joining the signature table twice afterwards.
     est_min: drop pairs whose estimated jaccard (matching fraction) is
     below it; None keeps every bucket collision."""
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
     band_structs = []
@@ -183,9 +185,16 @@ def lsh_candidate_pairs_filtered(
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig"),
         F.explode(F.array(*band_structs)).alias("bb"),
     ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    sized = banded.withColumn(
-        "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
-    ).filter(F.col("bsz") <= max_bucket)
+    # persisted: the self-join below reads this relation TWICE, and without
+    # a cache each side re-runs the whole upstream signature aggregation
+    # (Catalyst's exchange reuse does not fire once AQE broadcasts one side)
+    sized = (
+        banded.withColumn(
+            "bsz", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("bsz") <= max_bucket)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = sized.select(F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "band", "bucket")
     b2 = sized.select(F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "band", "bucket")
     joined = a.join(b2, ["band", "bucket"], "inner").filter(F.col("a") < F.col("b"))

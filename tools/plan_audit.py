@@ -139,6 +139,60 @@ def main():
         "params never pass through the driver.",
     )
 
+    # 7. MinHash-LSH dedup full query (round-2 restructure)
+    from graph_embeddings_spark.datapipe.dedup import minhash_lsh_dedup
+
+    add(
+        "MinHash-LSH dedup (threshold-derived banding, fused prefilter)",
+        minhash_lsh_dedup(docs.limit(200), threshold=0.8),
+        "Signatures computed ONCE (explode+min-agg); the estimate prefilter "
+        "rides inside the band self-join as a zip_with over the signature "
+        "arrays (no separate wide re-join); exact rescore is array_intersect "
+        "on hashed-long shingle arrays — zero Python end to end.",
+    )
+
+    # 8. Embedding-cosine dedup, LSH scale path
+    from graph_embeddings_spark.datapipe.dedup import cosine_dedup_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()["embedding"])
+    add(
+        "Embedding-cosine dedup (hyperplane sign-band path)",
+        cosine_dedup_pairs(emb, threshold=0.4, strategy="lsh", dim=dim),
+        "Never a cartesian product: candidates come from same-(band,bucket) "
+        "joins over seeded hyperplane sign bits (pure column math), exact "
+        "cosine re-check inside buckets only.",
+    )
+
+    # 9. One BCA loop round against the persisted adjacency
+    from graph_embeddings_spark.bca.cooc import build_adjacency
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1, 1.0), (1, 2, 1, 2.0), (2, 0, 1, 1.0)],
+        "src long, dst long, etype int, weight double",
+    )
+    adj = build_adjacency(edges, "both").persist()
+    adj.count()
+    wet = spark.createDataFrame(
+        [(0, 0, 1.0)], "root long, node long, paint double"
+    ).localCheckpoint(eager=True)
+    rnd = (
+        wet.filter(F.col("paint") >= 1e-3)
+        .join(adj, "node")
+        .select("root", F.col("dst").alias("node"),
+                (0.9 * F.col("paint") * F.col("weight") / F.col("wsum")).alias("paint"))
+        .filter(F.col("paint") >= 1e-3)
+        .groupBy("root", "node").agg(F.sum("paint").alias("paint"))
+    )
+    add(
+        "BCA loop round (beyond-memory strategy)",
+        rnd,
+        "The cached adjacency keeps its repartition('node') partitioning "
+        "(InMemoryTableScan), so a round exchanges only the frontier + the "
+        "merge groupBy — <=2 shuffle exchanges/round, asserted in "
+        "tests/test_plans.py.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the hot paths\n\n"
