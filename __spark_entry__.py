@@ -564,6 +564,39 @@ def q_glove_pglove_amsgrad_smoke(spark, sf_dir):
     return _glove_smoke(spark, sf_dir, method="amsgrad", cost="pglove")
 
 
+def q_streaming_ingest(spark, sf_dir):
+    """Structured-Streaming ingestion tier (SURVEY.md §2.9 extension): two
+    synthetic page waves dropped as files, drained with an availableNow
+    trigger through the extraction stream into an exactly-once parquet
+    sink, then read back. Deterministic output (seeded corpus + pure
+    extraction), rows-only check."""
+    import os
+    import tempfile
+
+    from graph_embeddings_spark.corpus import build_world, web_pages_df
+    from graph_embeddings_spark.streaming.ingest import (
+        read_page_stream,
+        start_triples_sink,
+        streaming_triples,
+    )
+
+    world = build_world(42, 40)
+    tmp = tempfile.mkdtemp(prefix="stream_q_")
+    src, out, ck = (os.path.join(tmp, d) for d in ("src", "out", "ck"))
+    pages = web_pages_df(spark, world, 120, partitions=2)
+    wave = F.pmod(F.xxhash64("url"), F.lit(2))
+    for w in (0, 1):  # two file waves, as they would land from a crawler
+        pages.filter(wave == w).write.mode("append").parquet(src)
+    stream = streaming_triples(read_page_stream(spark, src), sorted(world.alias_map))
+    q = start_triples_sink(stream, out, ck, trigger_once=True)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("pred")
+        .agg(F.count("*").alias("n_triples"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flagship_top_preds": lambda spark, sf: entry_at(spark, sf),
@@ -603,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glove_train_smoke": q_glove_train_smoke,
         "glove_adam_smoke": q_glove_adam_smoke,
         "glove_pglove_amsgrad_smoke": q_glove_pglove_amsgrad_smoke,
+        "streaming_ingest": q_streaming_ingest,
     }
 
 

@@ -116,11 +116,23 @@ def load_config(path: str) -> PipelineConfig:
 
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
+    # The reference's SHIPPED configs (dblp.config.yml etc.) predate its
+    # current schema: they say `predicate:` (no setPredicate exists in
+    # Configuration.java — SnakeYAML bean binding rejects it) and
+    # `method: token` (no TOKEN in SimilarityMethod). We accept both
+    # spellings so a reference user's YAML runs verbatim.
+    _method_alias = {"token": "token_jaccard", "ngram": "ngram_jaccard"}
+
+    def _src(g):
+        return g.get("sourcePredicate", g.get("predicate"))
+
     sim = [
         SimilarityGroup(
-            source_predicate=g["sourcePredicate"],
-            target_predicate=g.get("targetPredicate", g["sourcePredicate"]),
-            method=g.get("method", "token_jaccard").lower().replace("-", "_"),
+            source_predicate=_src(g),
+            target_predicate=g.get("targetPredicate", _src(g)),
+            method=_method_alias.get(
+                (m := g.get("method", "token_jaccard").lower().replace("-", "_")), m
+            ),
             threshold=float(g.get("threshold", 0.5)),
             ngram=int(g.get("ngram", 3)),
             threshold_distance=float(g.get("distance", 0.0)),

@@ -151,3 +151,50 @@ def test_cli_rdf_input_end_to_end(tmp_path, capsys, spark):
 
     vec_parts = glob.glob(str(tmp_path / "wd" / "export" / "*.vectors.tsv" / "part-*"))
     assert vec_parts, "TSV export written"
+
+
+def test_load_config_reference_shipped_schema(tmp_path):
+    """The reference's SHIPPED dblp.config.yml spelling (predicate:,
+    method: token, bca reverse/predicates keys, pca block) must load
+    verbatim — upstream's own strict bean binding rejects these stale
+    keys; we accept them (Configuration.java has no setPredicate and no
+    TOKEN enum member)."""
+    from graph_embeddings_spark.config import load_config
+
+    p = tmp_path / "dblp.config.yml"
+    p.write_text(
+        "graph: data/DBLP/dblp-2015-2017.ttl\n"
+        "method: pglove\n"
+        "dim: 300\n"
+        "weights:\n"
+        "  http://xmlns.com/foaf/0.1/name: 1\n"
+        "similarity:\n"
+        "  - predicate: http://xmlns.com/foaf/0.1/name\n"
+        "    method: jarowinkler\n"
+        "    threshold: 0.95\n"
+        "  - predicate: http://purl.org/dc/elements/1.1/title\n"
+        "    method: token\n"
+        "    threshold: 0.5\n"
+        "bca:\n"
+        "  alpha: 1e-1\n"
+        "  epsilon: 1e-3\n"
+        "  reverse: true\n"
+        "  directed: true\n"
+        "  predicates: true\n"
+        "opt:\n"
+        "  method: adagrad\n"
+        "  tolerance: 1e-4\n"
+        "  maxiter: 1000\n"
+        "pca:\n"
+        "  variance: 0.95\n"
+        "output:\n"
+        "  uri: [ http://dblp.l3s.de/d2r/resource/authors/ ]\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.method == "pglove" and cfg.dim == 300
+    assert cfg.similarity[0].source_predicate == "http://xmlns.com/foaf/0.1/name"
+    assert cfg.similarity[0].target_predicate == cfg.similarity[0].source_predicate
+    assert cfg.similarity[0].method == "jarowinkler"
+    assert cfg.similarity[1].method == "token_jaccard"
+    assert cfg.bca.directed is True
+    assert cfg.output.uri == ["http://dblp.l3s.de/d2r/resource/authors/"]
