@@ -473,6 +473,16 @@ def q_token_counts(spark, sf_dir):
     )
 
 
+def q_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints — k=5 grams, window 4; the
+    hash is the 8-hex md5 prefix ordered lexicographically so DuckDB
+    reproduces the selection byte-identically."""
+    from graph_embeddings_spark.datapipe.textstats import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return winnowing_fingerprints(docs, k=5, w=4)
+
+
 def q_doc_fingerprint(spark, sf_dir):
     from graph_embeddings_spark.datapipe.textstats import fingerprints
 
@@ -632,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
+        "winnowing_fingerprint": q_winnowing_fingerprint,
         "bca_cooc": q_bca_cooc,
         "glove_train_smoke": q_glove_train_smoke,
         "glove_adam_smoke": q_glove_adam_smoke,
@@ -962,5 +973,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        "winnowing_fingerprint": """
+            WITH norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM documents WHERE doc_id < 200
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(length(t) - 4, 0)),
+                                      i -> substring(md5(substring(t, i, 5)), 1, 8)) AS g
+                FROM norm
+            ), mins AS (
+                SELECT doc_id,
+                       CASE WHEN len(g) - 3 >= 1 THEN
+                           list_distinct(list_transform(generate_series(1, len(g) - 3),
+                                                        j -> list_min(g[j:j+3])))
+                            WHEN len(g) >= 1 THEN [list_min(g)]
+                            ELSE CAST([] AS VARCHAR[]) END AS fps
+                FROM grams
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM mins
         """,
     }

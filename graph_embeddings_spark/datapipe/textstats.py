@@ -99,3 +99,47 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         fp.alias("fp"),
         F.conv(F.substring(fp, 1, 4), 16, 10).cast("int").alias("fp_prefix"),
     )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 5, w: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — THE rolling-hash fingerprinting scheme): hash every char k-gram of
+    the normalized text, slide a window of w consecutive hashes, keep each
+    window's minimum; the distinct minima are the document's fingerprints.
+    Guarantees: any shared substring of length >= k+w-1 between two docs
+    yields at least one shared fingerprint.
+
+    -> (doc_id, fp) one row per selected fingerprint. Pure column math
+    (sequence/transform/slice/array_min — no UDF); the hash is the 8-hex
+    prefix of md5(k-gram) compared LEXICOGRAPHICALLY, which any SQL engine
+    reproduces byte-identically (winnowing only needs a total order on
+    hashes, not arithmetic)."""
+    s = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    n = F.length(s) - (k - 1)
+    # n >= 1 guard: Spark's sequence(1, 0) counts DOWN, it is not empty
+    grams = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.substring(F.md5(F.substr(s, i, F.lit(k))), 1, 8),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_windows = F.size(grams) - (w - 1)
+    mins = F.when(
+        n_windows >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                lambda j: F.array_min(F.slice(grams, j, w)),
+            )
+        ),
+    ).otherwise(
+        # shorter than one window but has k-grams: the global min is the
+        # single fingerprint; no k-grams at all: empty
+        F.when(F.size(grams) >= 1, F.array(F.array_min(grams))).otherwise(
+            F.array().cast("array<string>")
+        )
+    )
+    return docs.select("doc_id", F.explode(mins).alias("fp"))

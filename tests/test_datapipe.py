@@ -243,3 +243,30 @@ def test_ivf_centroids_deterministic(spark):
     a = ivf_train_centroids(emb, 4, iters=2, seed=5)
     b = ivf_train_centroids(emb.repartition(7), 4, iters=2, seed=5)
     assert np.allclose(a, b)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; short docs degrade gracefully."""
+    from graph_embeddings_spark.datapipe.textstats import winnowing_fingerprints
+
+    shared = "a very distinctive shared passage"
+    docs = spark.createDataFrame(
+        [
+            (0, f"prefix one {shared} suffix alpha"),
+            (1, f"other beginning {shared} and another end"),
+            (2, "totally unrelated content here"),
+            (3, "tinydoc"),  # >= k chars but fewer grams than one window
+            (4, "ab"),       # shorter than k -> no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(docs, k=5, w=4).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared >= k+w-1 substring must share a fingerprint"
+    assert len(fps[3]) == 1   # single global-min fingerprint
+    assert 4 not in fps       # no k-grams at all
+    # fingerprints are a sparse selection, not all grams
+    n_grams_0 = len(docs.collect()[0]["text"]) - 4
+    assert 0 < len(fps[0]) < n_grams_0
