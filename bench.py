@@ -150,9 +150,12 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     triples = extraction(pages).persist()
     n_triples = triples.count()
     e_trials = [time.perf_counter() - t0]
-    for _ in range(2):
+    for t in range(2):
+        # re-trials add a no-op literal column upstream so the plan can
+        # NEVER canonicalize to the persisted `triples` relation above —
+        # the trial must measure a full recompute, not a cache scan
         t0 = time.perf_counter()
-        extraction(pages).count()  # full recompute, cache not consulted
+        extraction(pages.withColumn("_trial", F.lit(t))).count()
         e_trials.append(time.perf_counter() - t0)
     extract_sec = min(e_trials)
 
@@ -241,6 +244,11 @@ def main():
         env=env, capture_output=True, text=True, timeout=3600,
     )
     child_lines = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")]
+    if proc.returncode != 0 or not child_lines:
+        raise RuntimeError(
+            f"pipeline bench child failed (rc={proc.returncode}); "
+            f"stderr tail:\n{proc.stderr[-2000:]}"
+        )
     pipe = json.loads(child_lines[-1][5:])
 
     result = {

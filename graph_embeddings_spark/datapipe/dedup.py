@@ -14,6 +14,10 @@ DataFrame stage; all deterministic (literal hash seeds), all shuffle-aware:
   embedding      cosine >= threshold over embedding vectors; candidate
                  blocking by LSH sign-bands or brute pairs for small sets.
 
+Operators that persist intermediates (minhash/simhash/cosine-lsh) accept
+a cache_registry list: appended DataFrames are the caller's to unpersist
+once results are consumed (None = rely on GC/ContextCleaner).
+
 At 10^12-doc scale: exact + minhash are the workhorses (linear + banded);
 ngram-jaccard exact pair join only runs *within* LSH/blocking candidates;
 the shared-shingle block join caps bucket sizes like functions/lsh.py.
@@ -109,6 +113,7 @@ def minhash_lsh_dedup(
     num_hashes: int | None = None,
     bands: int | None = None,
     estimate_margin: float | None = 0.2,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """-> (a, b, jac >= threshold): banded-MinHash candidates + exact
     rescore. The scale path: candidate generation touches each doc
@@ -147,6 +152,11 @@ def minhash_lsh_dedup(
         num_hashes, bands = derive_lsh_config(threshold)
     elif bands is None:
         bands, _rows = derive_banding(threshold, num_hashes)
+    elif num_hashes is None:
+        # bands given alone: threshold-derived signature length rounded up
+        # to a multiple of bands
+        derived, _ = derive_lsh_config(threshold)
+        num_hashes = ((max(derived, bands) + bands - 1) // bands) * bands
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     # shingles are hashed to 64-bit longs up front: jaccard over the hashed
     # sets equals jaccard over the string sets modulo 2^-64 collisions, and
@@ -165,10 +175,12 @@ def minhash_lsh_dedup(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(with_sh)
     sig = minhash_signatures(with_sh, "id", F.col("_sh"), num_hashes)
     est_min = None if estimate_margin is None else threshold - estimate_margin
     cands = lsh_candidate_pairs_filtered(
-        sig, "id", num_hashes, bands, est_min=est_min
+        sig, "id", num_hashes, bands, est_min=est_min, cache_registry=cache_registry
     )
     arrs = with_sh.select("id", "_sh", F.size("_sh").alias("_sz"))
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))
@@ -203,7 +215,10 @@ def simhash_col(c, bits: int = 64):
     return out
 
 
-def simhash_dedup(docs: DataFrame, max_hamming: int = 3, bands: int = 4) -> DataFrame:
+def simhash_dedup(
+    docs: DataFrame, max_hamming: int = 3, bands: int = 4,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """-> (a, b, hamming <= max_hamming) via banded simhash: split the 64-bit
     key into `bands` sub-keys; pigeonhole guarantees recall when
     max_hamming < bands. Exact hamming re-check with bit_count.
@@ -230,6 +245,8 @@ def simhash_dedup(docs: DataFrame, max_hamming: int = 3, bands: int = 4) -> Data
         .select("id", "sim", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(banded)
     a = banded.select(F.col("id").alias("a"), F.col("sim").alias("sima"), "band", "bucket")
     b2 = banded.select(F.col("id").alias("b"), F.col("sim").alias("simb"), "band", "bucket")
     cands = (
@@ -250,6 +267,7 @@ def cosine_dedup_pairs(
     n_planes: int = 8,
     bands: int = 4,
     seed: int = 42,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """-> (a, b, cos >= threshold) over embeddings(vec_id, embedding).
 
@@ -308,6 +326,8 @@ def cosine_dedup_pairs(
         .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(banded)
     a = banded.select(F.col("id").alias("a"), F.col("v").alias("va"), "band", "bucket")
     b = banded.select(F.col("id").alias("b"), F.col("v").alias("vb"), "band", "bucket")
     cands = (

@@ -163,6 +163,7 @@ def lsh_candidate_pairs_filtered(
     bands: int,
     max_bucket: int = 1000,
     est_min: float | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Band join + signature-estimate prefilter FUSED into one stage.
 
@@ -195,6 +196,8 @@ def lsh_candidate_pairs_filtered(
         .filter(F.col("bsz") <= max_bucket)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(sized)
     a = sized.select(F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "band", "bucket")
     b2 = sized.select(F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "band", "bucket")
     joined = a.join(b2, ["band", "bucket"], "inner").filter(F.col("a") < F.col("b"))

@@ -169,16 +169,23 @@ def run_graph_pipeline(
     every observed predicate 1.0 — graceful where upstream crashes, and the
     predicate dictionary is <= 127 entries by contract (A2)."""
     config.check()
-    if weights is None:
-        weights = config.weights or {
-            r["pred"]: 1.0 for r in triples.select("pred").distinct().collect()
-        }
+    _weights_memo = {"w": weights if weights is not None else (config.weights or None)}
+
+    def get_weights() -> dict[str, float]:
+        # lazy: the predicate scan only runs if a stage actually BUILDS
+        # (fully-resumed runs load every stage from checkpoint and never
+        # need the map — don't pay a full triples pass for it)
+        if _weights_memo["w"] is None:
+            _weights_memo["w"] = {
+                r["pred"]: 1.0 for r in triples.select("pred").distinct().collect()
+            }
+        return _weights_memo["w"]
 
     # -- graph materialization (F1/A1/A2) -----------------------------------
     node_caches: list = []
 
     def build_nodes_fn():
-        nodes, edges, _ = materialize_graph(triples, weights, cache_registry=node_caches)
+        nodes, edges, _ = materialize_graph(triples, get_weights(), cache_registry=node_caches)
         return nodes
 
     nodes = _resumable(spark, work_dir, "nodes", build_nodes_fn, resume, caches=node_caches)
@@ -187,7 +194,7 @@ def run_graph_pipeline(
         # rebuild against the checkpointed node dictionary for id stability
         from .graph.materialize import build_edge_types, build_edges, filter_by_predicate_weights
 
-        weighted = filter_by_predicate_weights(triples, weights)
+        weighted = filter_by_predicate_weights(triples, get_weights())
         etypes = build_edge_types(weighted)
         return build_edges(weighted, nodes, etypes)
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import xml.etree.ElementTree as ET
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 XML_NS = "http://www.w3.org/XML/1998/namespace"
@@ -81,9 +81,9 @@ class _RdfXmlParser:
 
     @staticmethod
     def _resolve(iri: str, base: str) -> str:
-        if base and "://" not in iri and not iri.startswith(("urn:", "mailto:")):
-            return base + iri
-        return iri
+        from ._distribute import resolve_iri
+
+        return resolve_iri(iri, base)
 
     def _node_element(self, el: ET.Element, base: str) -> tuple[str, int]:
         base = el.get(_XML_BASE, base)
@@ -134,31 +134,12 @@ def parse_rdfxml_text(text: str, bnode_prefix: str = "g") -> list[tuple[str, str
 
 
 def parse_rdfxml_files(files: DataFrame, path_col: str = "path", text_col: str = "text") -> DataFrame:
-    import hashlib
+    from ._distribute import parse_files_distributed
 
-    import pandas as pd
-
-    def run(batches):
-        for pdf in batches:
-            rows = {"subj": [], "pred": [], "obj": [], "obj_kind": []}
-            for path, text in zip(pdf[path_col], pdf[text_col]):
-                pfx = hashlib.sha1(str(path).encode()).hexdigest()[:12]
-                for s, p, o, k in parse_rdfxml_text(text, pfx):
-                    rows["subj"].append(s)
-                    rows["pred"].append(p)
-                    rows["obj"].append(o)
-                    rows["obj_kind"].append(k)
-            pdf_out = pd.DataFrame(rows)
-            pdf_out["obj_kind"] = pdf_out["obj_kind"].astype("int8")
-            yield pdf_out
-
-    return files.mapInPandas(run, TRIPLES_SCHEMA)
+    return parse_files_distributed(files, parse_rdfxml_text, path_col, text_col)
 
 
 def read_rdfxml(spark, path: str) -> DataFrame:
-    files = (
-        spark.read.text(path, wholetext=True)
-        .select(F.input_file_name().alias("path"), F.col("value").alias("text"))
-        .repartition("path")
-    )
-    return parse_rdfxml_files(files)
+    from ._distribute import read_documents
+
+    return read_documents(spark, path, parse_rdfxml_text)

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame
 
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 RDF_TYPE = RDF_NS + "type"
@@ -183,10 +183,16 @@ class _Tokenizer:
                 m = re.match(r"_:[\w\-.À-￿]+", t[i:])
                 if not m:
                     raise TurtleSyntaxError("bad blank node label")
-                self.i = i + m.end()
-                yield ("blank", t[i : self.i])
-            elif c in self._PUNCT:
-                # '.' inside a number is handled by the number branch first
+                label = m.group(0)
+                # labels may contain dots but not end with one: a trailing
+                # '.' is the statement terminator ('_:b1.' with no space)
+                while label.endswith("."):
+                    label = label[:-1]
+                self.i = i + len(label)
+                yield ("blank", label)
+            elif c in self._PUNCT and not (c == "." and _NUM_RE.match(t, i)):
+                # bare '.' is punctuation; '.5' (leading-dot decimal) falls
+                # through to the number branch below
                 self.i += 1
                 yield ("punct", c)
             elif c.isdigit() or (c in "+-." and _NUM_RE.match(t, i)):
@@ -256,9 +262,9 @@ class _Parser:
         return f"_:anon-{self.bnode_prefix}-{self.bnode_n}"
 
     def _resolve(self, iri: str) -> str:
-        if self.base and "://" not in iri and not iri.startswith(("urn:", "mailto:")):
-            return self.base + iri
-        return iri
+        from ._distribute import resolve_iri
+
+        return resolve_iri(iri, self.base)
 
     def _expand_pname(self, pname: str) -> str:
         pfx, _, local = pname.partition(":")
@@ -319,13 +325,16 @@ class _Parser:
         kind, val = self._peek()
         if kind == "punct" and val == "[":
             subj = self._bnode_property_list()
-            skind = 1
             # subject-only anon node: '[ p o ] .' is a complete statement
             if self._peek() == ("punct", "."):
                 self._next()
                 return
+        elif kind == "punct" and val == "(":
+            # collection in subject position (legal Turtle 1.1): the
+            # rdf:first/rest chain is emitted, its head is the subject
+            subj, _skind = self._collection()
         else:
-            subj, skind = self._node()
+            subj, _skind = self._node()
         self._predicate_object_list(subj)
         kind, val = self._peek()
         if kind == "punct" and val == ".":
@@ -441,37 +450,15 @@ def parse_turtle_text(text: str, bnode_prefix: str = "g") -> list[tuple[str, str
 
 
 def parse_turtle_files(files: DataFrame, path_col: str = "path", text_col: str = "text") -> DataFrame:
-    """(path, text) rows -> triples DF; one parse per file, distributed.
+    """(path, text) rows -> triples DF; one parse per file, distributed
+    (shared wrapper: sources/_distribute.parse_files_distributed)."""
+    from ._distribute import parse_files_distributed
 
-    Anonymous blank-node ids are namespaced by a hash of the file path, so
-    ids never collide across files at any parallelism (deterministic: same
-    input -> same ids)."""
-    import hashlib
-
-    import pandas as pd
-
-    def run(batches):
-        for pdf in batches:
-            rows = {"subj": [], "pred": [], "obj": [], "obj_kind": []}
-            for path, text in zip(pdf[path_col], pdf[text_col]):
-                pfx = hashlib.sha1(str(path).encode()).hexdigest()[:12]
-                for s, p, o, k in parse_turtle_text(text, pfx):
-                    rows["subj"].append(s)
-                    rows["pred"].append(p)
-                    rows["obj"].append(o)
-                    rows["obj_kind"].append(k)
-            pdf_out = pd.DataFrame(rows)
-            pdf_out["obj_kind"] = pdf_out["obj_kind"].astype("int8")
-            yield pdf_out
-
-    return files.mapInPandas(run, TRIPLES_SCHEMA)
+    return parse_files_distributed(files, parse_turtle_text, path_col, text_col)
 
 
 def read_turtle(spark, path: str) -> DataFrame:
     """Directory/glob of .ttl/.trig files -> triples DF (file = task)."""
-    files = (
-        spark.read.text(path, wholetext=True)
-        .select(F.input_file_name().alias("path"), F.col("value").alias("text"))
-        .repartition("path")
-    )
-    return parse_turtle_files(files)
+    from ._distribute import read_documents
+
+    return read_documents(spark, path, parse_turtle_text)

@@ -242,3 +242,31 @@ def test_read_rdf_dispatch(spark, tmp_path):
     assert [(r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in rows] == [
         (EX + "s", EX + "p", "v", 2)
     ]
+
+
+def test_review_fixes_decimals_dots_collections_iri():
+    """Regression pack from the round-2 review: leading-dot decimals,
+    blank label trailing dot, subject-position collections, RFC3986
+    relative-IRI resolution (segment replacement, scheme'd IRIs)."""
+    from graph_embeddings_spark.sources._distribute import resolve_iri
+
+    doc = (
+        "@prefix ex: <http://e/> .\n"
+        "ex:s ex:p .5 .\n"
+        "ex:s ex:q _:b1.\n"
+        '( ex:a ) ex:label "listsubj" .\n'
+    )
+    got = _index(parse_turtle_text(doc, "t"))
+    assert got[("http://e/s", "http://e/p")] == [(".5", 2)]
+    assert got[("http://e/s", "http://e/q")] == [("_:b1", 1)]
+    heads = [s for (s, p) in got if p == "http://e/label"]
+    assert len(heads) == 1 and heads[0].startswith("_:anon-t-")
+    assert got[(heads[0], RDF_FIRST)] == [("http://e/a", 0)]
+    # base WITHOUT trailing slash: last segment replaced, not concatenated
+    base_doc = "@base <http://base.org/dir/doc> .\n<rel> <http://e/p> <#frag> .\n"
+    rows = parse_turtle_text(base_doc)
+    assert rows == [("http://base.org/dir/rel", "http://e/p",
+                     "http://base.org/dir/doc#frag", 0)]
+    assert resolve_iri("tag:foo", "http://b/x") == "tag:foo"   # scheme'd
+    assert resolve_iri("/abs", "http://b/x/y") == "http://b/abs"
+    assert resolve_iri("//h/p", "https://b/x") == "https://h/p"
