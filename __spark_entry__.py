@@ -495,7 +495,14 @@ def q_doc_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_bca_cooc(spark, sf_dir):
-    """G1-G3: BCA over the nation->region star (directed, fwd+rev merge)."""
+    """G1-G3: BCA over the nation->region star (directed, fwd+rev merge).
+
+    ORACLE-CHECKED: on this 2-level DAG the paint propagation has a closed
+    form (sequential and level-synchronous semantics coincide — no cycles,
+    no re-merge): every root retains α in each of the two passes (0.2
+    total); forward, nation n paints its region with α·(1−α) = 0.09;
+    reverse, region r paints each of its k in-nations with α·(1−α)/k
+    (k = 5 in TPC-H at every SF, so 0.9/k ≥ ε and nothing is pruned)."""
     from graph_embeddings_spark.bca.cooc import bca_cooccurrence
 
     n = _t(spark, sf_dir, "nation")
@@ -973,6 +980,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        "bca_cooc": """
+            WITH k AS (
+                SELECT n_regionkey, count(*) AS k FROM nation GROUP BY 1
+            ), fwd AS (
+                SELECT CAST(n_nationkey AS BIGINT) AS i,
+                       CAST(n_regionkey + 25 AS BIGINT) AS j,
+                       0.1::DOUBLE * (1.0::DOUBLE - 0.1::DOUBLE) AS x
+                FROM nation
+            ), rev AS (
+                SELECT CAST(n.n_regionkey + 25 AS BIGINT) AS i,
+                       CAST(n.n_nationkey AS BIGINT) AS j,
+                       0.1::DOUBLE * (1.0::DOUBLE - 0.1::DOUBLE) / k.k AS x
+                FROM nation n JOIN k ON n.n_regionkey = k.n_regionkey
+                WHERE (1.0::DOUBLE - 0.1::DOUBLE) / k.k >= 0.001
+            ), roots AS (
+                SELECT CAST(id AS BIGINT) AS i, CAST(id AS BIGINT) AS j,
+                       0.1::DOUBLE + 0.1::DOUBLE AS x
+                FROM range(30) t(id)
+            )
+            SELECT i, j, round(x, 6) AS x
+            FROM (SELECT * FROM fwd UNION ALL SELECT * FROM rev
+                  UNION ALL SELECT * FROM roots)
         """,
         "winnowing_fingerprint": """
             WITH norm AS (
