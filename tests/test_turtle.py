@@ -270,3 +270,62 @@ def test_review_fixes_decimals_dots_collections_iri():
     assert resolve_iri("tag:foo", "http://b/x") == "tag:foo"   # scheme'd
     assert resolve_iri("/abs", "http://b/x/y") == "http://b/abs"
     assert resolve_iri("//h/p", "https://b/x") == "https://h/p"
+
+
+# ---------------------------------------------------------------------------
+# Property: serialize -> parse round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_IRI_CHARS = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")), min_size=1, max_size=12
+)
+_LITERALS = st.text(
+    alphabet=st.characters(
+        blacklist_categories=("Cs",),  # no lone surrogates
+        blacklist_characters="\ud800",
+    ),
+    max_size=40,
+)
+
+
+def _esc_literal(s: str) -> str:
+    out = s.replace("\\", "\\\\").replace('"', '\\"')
+    out = out.replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    return f'"{out}"'
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _IRI_CHARS,  # subject local name
+            _IRI_CHARS,  # predicate local name
+            st.one_of(
+                _IRI_CHARS.map(lambda s: ("iri", s)),
+                _LITERALS.map(lambda s: ("lit", s)),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_turtle_roundtrip_property(triples):
+    """Serialize arbitrary (subj, pred, obj) triples to Turtle text, parse
+    them back, and demand exact multiset equality — exercises escaping,
+    statement termination, and prefix expansion together."""
+    E = "http://ex.org/"
+    lines = ["@prefix ex: <http://ex.org/> ."]
+    want = []
+    for s, p, o in triples:
+        okind, oval = o
+        if okind == "iri":
+            lines.append(f"ex:{s} ex:{p} ex:{oval} .")
+            want.append((E + s, E + p, E + oval, 0))
+        else:
+            lines.append(f"ex:{s} ex:{p} {_esc_literal(oval)} .")
+            want.append((E + s, E + p, oval, 2))
+    got = parse_turtle_text("\n".join(lines) + "\n")
+    assert sorted(got) == sorted(want)

@@ -110,13 +110,14 @@ def main():
             "alternating trials per core count (shared host — alternation exposes\n"
             "both configs to the same co-tenant load; see tools/scaling_bench.py).\n\n"
         )
-        f.write("| cores | triples/sec | pages/sec | extract s | BCA s | GloVe epoch s |\n")
-        f.write("|---|---|---|---|---|---|\n")
+        f.write("| cores | triples/sec | pages/sec | extract s | BCA s | BCA loop s | GloVe epoch s | host spin u/s |\n")
+        f.write("|---|---|---|---|---|---|---|---|\n")
         for c in CORES:
             b = best[c]
             f.write(
                 f"| local[{c}] | {b['triples_per_sec']} | {b['pages_per_sec']} | "
-                f"{b['extract_sec']} | {b['bca_sec']} | {b['glove_epoch_sec']} |\n"
+                f"{b['extract_sec']} | {b['bca_sec']} | {b.get('bca_loop_sec', '-')} | "
+                f"{b['glove_epoch_sec']} | {b.get('host', {}).get('spin_units_per_sec', '-')} |\n"
             )
         f.write(
             f"\n**Scaling efficiency (throughput(4N) / (4 x throughput(N)))**:\n"
