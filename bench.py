@@ -111,7 +111,7 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     from pyspark.sql import functions as F
 
     from graph_embeddings_spark.corpus import alias_dict_df, build_world, web_pages_df
-    from graph_embeddings_spark.extract.text import latest_pages, with_extracted_text
+    from graph_embeddings_spark.extract.text import latest_texts, with_extracted_text
     from graph_embeddings_spark.extract.triples import extract_surface_triples, link_triples
     from graph_embeddings_spark.graph.materialize import materialize_graph
     from graph_embeddings_spark.bca.cooc import bca_cooccurrence
@@ -121,10 +121,13 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     world = build_world(42, 120)
 
     def extraction(pages_df):
-        deduped = latest_pages(pages_df, target_partitions=64)
-        texted = with_extracted_text(deduped, min_parallelism=0).select(
-            "url", F.col("extracted_text").alias("text")
+        # extract FIRST (narrow, on the generator's 64 partitions), dedup
+        # after: the tier's one shuffle then moves ~300B text/page, not
+        # multi-KB html (see extract.text.latest_texts)
+        texted_all = with_extracted_text(pages_df, min_parallelism=0).select(
+            "url", "warc_ts", "lang", F.col("extracted_text").alias("text")
         )
+        texted = latest_texts(texted_all, target_partitions=64).select("url", "text")
         surface = extract_surface_triples(texted, sorted(world.alias_map), min_parallelism=0)
         return link_triples(surface, alias_dict_df(spark, world)).select(
             "subj", "pred", "obj",

@@ -97,3 +97,22 @@ def latest_pages(pages_df, target_partitions: int | None = None):
         .agg(F.max(F.struct("warc_ts", "html", "text", "lang")).alias("m"))
         .select("url", "m.warc_ts", "m.html", "m.text", "m.lang")
     )
+
+
+def latest_texts(texted_df, target_partitions: int | None = None):
+    """Latest-wins per url AFTER extraction (url, warc_ts, text, lang).
+
+    Ordering the tier as extract -> dedup (instead of dedup -> extract)
+    makes the tier's one shuffle move ~300 B of extracted text per page
+    instead of multi-KB html — the shuffle, not the regex scan, is the
+    extraction tier's wall-clock floor once the scan is trie-optimized.
+    The ~1% duplicate pages are extracted twice (extraction is pure, so
+    the result is identical); ties on warc_ts break deterministically by
+    (text, lang)."""
+    if target_partitions:
+        texted_df = texted_df.repartition(target_partitions, "url")
+    return (
+        texted_df.groupBy("url")
+        .agg(F.max(F.struct("warc_ts", "text", "lang")).alias("m"))
+        .select("url", "m.warc_ts", "m.text", "m.lang")
+    )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .config import LITERAL, PipelineConfig
 from .corpus import PHRASE_TO_PRED  # closed predicate vocabulary
 from .bca.cooc import CoocResult, bca_cooccurrence
-from .extract.text import latest_pages, with_extracted_text
+from .extract.text import latest_texts, with_extracted_text
 from .extract.triples import extract_surface_triples, link_triples
 from .glove.train import extract_embeddings, find_completed_epochs, optimize, resume_params
 from .graph.canonicalize import all_similarity_pairs
@@ -117,13 +117,15 @@ def run_pipeline(
 
     # -- load + extract (graft surface; byte parity gated elsewhere) --------
     def build_pages():
-        # one shuffle for the whole extraction tier: the dedup exchange also
-        # sets the Python-stage parallelism (see extract.text.latest_pages)
+        # extract FIRST, dedup after: the tier's one shuffle then carries
+        # ~300B of text per page instead of multi-KB html — the shuffle is
+        # the tier's floor once the scan is trie-optimized (latest_texts);
+        # min_parallelism guards the CPU-bound UDF from byte-coalescing
         target = spark.sparkContext.defaultParallelism * 2
-        deduped = latest_pages(pages, target_partitions=target)
-        return with_extracted_text(deduped, min_parallelism=0).select(
+        texted = with_extracted_text(pages, min_parallelism=target).select(
             "url", "warc_ts", "lang", F.col("extracted_text").alias("text")
         )
+        return latest_texts(texted, target_partitions=target)
 
     pages_ck = _resumable(spark, work_dir, "extract", build_pages, resume)
 
