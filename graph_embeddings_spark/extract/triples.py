@@ -96,15 +96,29 @@ def extract_surface_triples(
 
     def scan(batches):
         for pdf in batches:
-            rows = []
+            # columnar accumulation: building one list per column and
+            # constructing the frame from a dict skips the per-row tuple
+            # boxing + transpose pandas does for a list-of-rows input
+            # (hundreds of thousands of emitted triples per batch)
+            urls, subs, preds, objs, kinds = [], [], [], [], []
             for url, text in zip(pdf["url"], pdf[text_col]):
                 if not text:
                     continue
                 for block in text.split("\n"):
                     for s, p, o, k in _block_triples(block, pattern):
-                        rows.append((url, s, p, o, k))
+                        urls.append(url)
+                        subs.append(s)
+                        preds.append(p)
+                        objs.append(o)
+                        kinds.append(k)
             yield pd.DataFrame(
-                rows, columns=["url", "subj_surface", "pred", "obj_surface", "obj_kind"]
+                {
+                    "url": urls,
+                    "subj_surface": subs,
+                    "pred": preds,
+                    "obj_surface": objs,
+                    "obj_kind": kinds,
+                }
             )
 
     selected = pages_df.select("url", text_col)
