@@ -571,6 +571,21 @@ def _glove_smoke(spark, sf_dir, method: str, cost: str):
     return extract_embeddings(res.params).select("node_id", F.size("vec").alias("dim"))
 
 
+def q_pca_reduce(spark, sf_dir):
+    """PCA over the embeddings table (the reference's declared-but-
+    unimplemented pca.variance surface, Main.java:43-44): one-pass moment
+    aggregation + driver eigh + broadcast projection. Rows-only (no SQL
+    eigendecomposition); numpy-oracle parity in tests/test_pca.py."""
+    from graph_embeddings_spark.glove.pca import pca_reduce
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("node_id"), F.col("embedding").alias("vec")
+    )
+    return pca_reduce(emb, variance=0.9).select(
+        "node_id", F.size("vec").alias("k_dims")
+    )
+
+
 def q_glove_adam_smoke(spark, sf_dir):
     """T5 Adam epoch (Adam.java:43-118 semantics) visible to the harness."""
     return _glove_smoke(spark, sf_dir, method="adam", cost="glove")
@@ -655,6 +670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "glove_adam_smoke": q_glove_adam_smoke,
         "glove_pglove_amsgrad_smoke": q_glove_pglove_amsgrad_smoke,
         "streaming_ingest": q_streaming_ingest,
+        "pca_reduce": q_pca_reduce,
     }
 
 

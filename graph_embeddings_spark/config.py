@@ -82,6 +82,16 @@ class OutputConfig:
 
 
 @dataclass(frozen=True)
+class PcaConfig:
+    """pca.variance (Configuration.java pca block): minimum cumulative
+    explained-variance ratio; declared by every shipped reference config
+    but left TODO upstream (Main.java:43-44) — implemented here
+    (glove/pca.py)."""
+
+    variance: float = 0.95
+
+
+@dataclass(frozen=True)
 class PipelineConfig:
     """Top-level config — Configuration.java:17-501."""
 
@@ -95,6 +105,7 @@ class PipelineConfig:
     bca: BcaConfig = field(default_factory=BcaConfig)
     opt: OptConfig = field(default_factory=OptConfig)
     output: OutputConfig = field(default_factory=OutputConfig)
+    pca: PcaConfig | None = None  # None = no PCA (usingPca() analog)
 
     def check(self) -> None:
         """Configuration.check — Configuration.java:478-494."""
@@ -145,6 +156,7 @@ def load_config(path: str) -> PipelineConfig:
     bca_raw = raw.get("bca", {}) or {}
     opt_raw = raw.get("opt", {}) or {}
     out_raw = raw.get("output", {}) or {}
+    pca_raw = raw.get("pca") or None
     cfg = PipelineConfig(
         graph=raw.get("graph", ""),
         method=(raw.get("method", GLOVE) or GLOVE).lower(),
@@ -171,6 +183,7 @@ def load_config(path: str) -> PipelineConfig:
             literal=out_raw.get("literal"),
             predicate=out_raw.get("predicate"),
         ),
+        pca=PcaConfig(variance=float(pca_raw["variance"])) if pca_raw else None,
     )
     cfg.check()
     return cfg

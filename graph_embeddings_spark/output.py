@@ -92,8 +92,11 @@ def config_header_lines(config: PipelineConfig) -> list[str]:
         f"# Gradient Descent Algorithm: {config.opt.method}",
         f"# {config.method} Tolerance: {config.opt.tolerance}",
         f"# {config.method} Maximum Iterations: {config.opt.maxiter}",
-        # PCA is unimplemented upstream too (Main.java:43-44)
-        "# No PCA will be performed",
+        (
+            f"# PCA Minimum Variance: {config.pca.variance}"
+            if config.pca is not None
+            else "# No PCA will be performed"
+        ),
     ]
     if config.weights:
         lines.append("# Using weights, predicates that are not listed are ignored:")

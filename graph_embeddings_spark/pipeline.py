@@ -257,6 +257,12 @@ def run_graph_pipeline(
         )
         history = res.cost_history
         vecs = extract_embeddings(res.params)
+        if config.pca is not None:
+            # the reference declares pca.variance in every shipped config
+            # but left the reduction TODO (Main.java:43-44) — real here
+            from .glove.pca import pca_reduce
+
+            vecs = pca_reduce(vecs, config.pca.variance)
         embeddings = vecs.join(nodes, "node_id").select(
             "node_id", "label", "node_type", "vec"
         )

@@ -198,3 +198,4 @@ def test_load_config_reference_shipped_schema(tmp_path):
     assert cfg.similarity[1].method == "token_jaccard"
     assert cfg.bca.directed is True
     assert cfg.output.uri == ["http://dblp.l3s.de/d2r/resource/authors/"]
+    assert cfg.pca is not None and cfg.pca.variance == 0.95
