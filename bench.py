@@ -165,6 +165,7 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     nodes, edges, _ = materialize_graph(triples, default_weights())
     nodes = nodes.persist()
     edges = edges.persist()
+    nodes.count(), edges.count()  # materialize OUTSIDE the BCA timing
     b_trials, res = [], None
     for _ in range(2):
         t1 = time.perf_counter()
