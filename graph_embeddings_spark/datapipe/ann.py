@@ -47,8 +47,13 @@ def brute_topk(corpus: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
 
 def hyperplane_signs(vec, n_planes: int, dim: int, seed: int = 42):
     """Sign bits of dot(vec, plane_p) for seeded pseudo-random planes.
-    plane_p[d] = (hash(seed, p, d) / 2^63) in [-1, 1) — generated inline as
-    column math, identical on any executor; no model object to ship."""
+    plane_p[d] = (hash(seed, p, d) / 2^63) in [-1, 1).
+
+    REFERENCE FORM ONLY: per plane this is dim interpreted transform/
+    zip_with/aggregate evaluations — at dim 300 × 8 planes ~2,400
+    interpreted ops per row. Kept as the parity oracle for
+    `hyperplane_matrix`/`with_hyperplane_sig` (same hash recipe, tested
+    identical); every shipping path uses the Arrow-batched matmul."""
     bits = []
     for p in range(n_planes):
         comps = F.transform(
@@ -64,6 +69,57 @@ def hyperplane_signs(vec, n_planes: int, dim: int, seed: int = 42):
     for i, b in enumerate(bits):
         bucket = bucket + b.cast("long") * (2**i)
     return bucket
+
+
+def hyperplane_matrix(n_planes: int, dim: int, seed: int = 42):
+    """(n_planes, dim) float64 plane matrix — the EXACT values the column
+    form computes: plane[p, d] = signed64(xxh64_int_chain(42; seed, p, d))
+    / 2^63, generated with the numpy XXH64 4-byte path (functions/xxh64.py,
+    JVM-parity-tested). Deterministic, k×dim driver-small, broadcastable."""
+    import numpy as np
+
+    from ..functions.xxh64 import xxh64_int_np
+
+    p = np.repeat(np.arange(n_planes, dtype=np.uint64), dim)
+    d = np.tile(np.arange(dim, dtype=np.uint64), n_planes)
+    h = xxh64_int_np(np.uint64(seed), np.uint64(42))
+    h = xxh64_int_np(p, h)
+    h = xxh64_int_np(d, h)
+    return (h.view(np.int64).astype(np.float64) / float(2**63)).reshape(n_planes, dim)
+
+
+def with_hyperplane_sig(
+    df: DataFrame, vec_col: str, n_planes: int, dim: int, seed: int = 42,
+    out_col: str = "_sig",
+) -> DataFrame:
+    """df + out_col (long): hyperplane sign buckets via ONE Arrow-batched
+    matmul per batch (`mat @ planes.T >= 0` — the same pattern ivf_assign
+    uses) instead of n_planes × dim interpreted HOF ops per row. The seeded
+    plane matrix is broadcast; bucket assignment matches the reference
+    column form bit-for-bit (same planes, same >= 0 rule; dots differ only
+    by float summation order, parity-tested)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    planes = hyperplane_matrix(n_planes, dim, seed)
+    bc = df.sparkSession.sparkContext.broadcast(planes)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    out_schema = StructType(df.schema.fields + [StructField(out_col, LongType())])
+    cols = [f.name for f in out_schema.fields]
+
+    def gen(batches):
+        pl = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                pdf[out_col] = pd.Series([], dtype="int64")
+            else:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                sig = ((mat @ pl.T >= 0).astype(np.int64) * weights).sum(axis=1)
+                pdf[out_col] = sig
+            yield pdf[cols]
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def _normalize_rows(mat):
@@ -195,11 +251,10 @@ def lsh_topk(
     mask = (1 << width) - 1
 
     def _banded(df, id_name, vec_name):
-        # single explode: the hyperplane dot products evaluate once per row
-        # (a per-band union re-runs them per branch)
-        sig = df.select(
-            F.col(id_name), F.col(vec_name),
-            hyperplane_signs(F.col(vec_name), n_planes, dim, seed).alias("_sig"),
+        # single Arrow pass computes the signs once per row (matmul vs the
+        # broadcast plane matrix), then one explode fans out the bands
+        sig = with_hyperplane_sig(
+            df.select(id_name, vec_name), vec_name, n_planes, dim, seed
         )
         subs = [
             F.struct(

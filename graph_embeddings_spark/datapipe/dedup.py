@@ -252,7 +252,14 @@ def minhash_lsh_dedup(
 
 def simhash_col(c, bits: int = 64):
     """64-bit SimHash of whitespace tokens — pure column math: per-token
-    xxhash64, per-bit +1/-1 vote via aggregate over the token array."""
+    xxhash64, per-bit +1/-1 vote via aggregate over the token array.
+
+    REFERENCE FORM ONLY: each of the 64 bit-votes is one interpreted
+    F.aggregate pass over the token array (~16 µs/element measured — a
+    500-token doc costs ~32k interpreted lambda evaluations), so at corpus
+    scale this was the slowest dedup despite being conceptually the
+    cheapest. Kept as the parity oracle for `simhash_df` (the shipping
+    Arrow-batched kernel, byte-identical output); not used in any hot path."""
     toks = word_shingles_col(c, 1)
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     def bit_sum(b):
@@ -268,6 +275,80 @@ def simhash_col(c, bits: int = 64):
     return out
 
 
+# Java's \s — Spark's split uses Java regex, where \s is ASCII-only
+_JAVA_WS = None  # compiled lazily inside the worker
+
+
+def _simhash_np_one(text, token_cache: dict) -> int | None:
+    """SimHash of one document, numpy bit-vote over XXH64 token hashes —
+    byte-identical to `simhash_col` (parity-tested in tests/test_xxh64.py):
+    tokens = distinct(split(lower(trim(text)), \\s+)) with Java split
+    semantics (empty leading/trailing fields kept, matching re.split), each
+    token hashed with the same XXH64(utf8, seed=42) the JVM computes, votes
+    (+1 if bit set else −1) summed per bit position, bit set iff sum > 0."""
+    import re as _re
+
+    import numpy as np
+
+    from ..functions.xxh64 import xxh64
+
+    global _JAVA_WS
+    if _JAVA_WS is None:
+        _JAVA_WS = _re.compile(r"[ \t\n\x0b\f\r]+")
+    if text is None:
+        # the column form's per-bit `when(vote > 0)` sees a NULL vote and
+        # falls through to otherwise(0) for every bit -> simhash 0
+        return 0
+    toks = set(_JAVA_WS.split(text.strip(" ").lower()))
+    hs = np.empty(len(toks), dtype=np.uint64)
+    for k, t in enumerate(toks):
+        h = token_cache.get(t)
+        if h is None:
+            h = xxh64(t.encode("utf-8"), 42)
+            if len(token_cache) < 1_000_000:  # Zipf vocab: hits dominate
+                token_cache[t] = h
+        hs[k] = h
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(hs)
+    out = np.packbits((votes > 0).astype(np.uint8), bitorder="little")
+    return int(out.view(np.int64)[0])
+
+
+def simhash_df(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents -> (id, sim long): the shipping SimHash kernel.
+
+    Arrow-batched numpy bit-vote replacing simhash_col's 64 interpreted
+    HOF passes (the same interpreted-HOF inversion the MinHash shingler
+    made: Spark higher-order functions never enter codegen, ~16 µs per
+    element). Token hashes are cached per worker across batches — token
+    vocabularies are Zipf, so the pure-Python XXH64 runs roughly once per
+    *distinct* corpus token, and everything else is vectorized. Explicit
+    repartition: CPU-bound stage on tiny compressed bytes, exempt from AQE
+    byte-coalescing (the documented trap on this host)."""
+    import pandas as pd
+
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+
+    def gen(batches):
+        cache: dict = {}
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "id": pdf[id_col],
+                    "sim": pd.array(
+                        [_simhash_np_one(t, cache) for t in pdf[text_col]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    return (
+        docs.repartition(n_part, id_col)
+        .select(id_col, text_col)
+        .mapInPandas(gen, "id long, sim long")
+    )
+
+
 def simhash_dedup(
     docs: DataFrame, max_hamming: int = 3, bands: int = 4,
     cache_registry: list | None = None,
@@ -276,13 +357,13 @@ def simhash_dedup(
     key into `bands` sub-keys; pigeonhole guarantees recall when
     max_hamming < bands. Exact hamming re-check with bit_count.
 
-    The band rows come from ONE explode over the computed simhash (a
-    union-of-selects would re-evaluate the 64-bit vote aggregate once per
-    band branch), and the banded relation is persisted because the
-    candidate self-join reads it twice."""
+    The simhash values come from the Arrow-batched numpy kernel
+    (`simhash_df`; byte-identical to the reference column form), the band
+    rows from ONE explode over them, and the banded relation is persisted
+    because the candidate self-join reads it twice."""
     from pyspark import StorageLevel
 
-    sh = docs.select(F.col("doc_id").alias("id"), simhash_col(F.col("text")).alias("sim"))
+    sh = simhash_df(docs)
     width = 64 // bands
     subs = [
         F.struct(
@@ -354,15 +435,13 @@ def cosine_dedup_pairs(
         raise ValueError(f"strategy must be brute/lsh, got {strategy}")
     if dim is None:
         raise ValueError("dim is required for the lsh strategy")
-    from .ann import hyperplane_signs
+    from .ann import with_hyperplane_sig
 
     width = n_planes // bands
     assert bands * width == n_planes, "bands must divide n_planes"
     from pyspark import StorageLevel
 
-    sig = v.select(
-        "id", "v", hyperplane_signs(F.col("v"), n_planes, dim, seed).alias("_sig")
-    )
+    sig = with_hyperplane_sig(v, "v", n_planes, dim, seed)
     mask = (1 << width) - 1
     # one explode computes the hyperplane signs once per row (a per-band
     # union would re-run the dim x n_planes dot products per branch);
