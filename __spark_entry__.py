@@ -291,6 +291,64 @@ def q_x7_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_x4_token_cosine_pairs(spark, sf_dir):
+    """X4 token cosine over token-COUNT profiles as the JVM column form
+    (TokenCosine.java:10-45; Configuration.java:201-227 dispatch)."""
+    from graph_embeddings_spark.functions.similarity import token_cosine_col
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 250).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    sim = token_cosine_col(F.col("na"), F.col("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
+def q_x6_token_cosine_precomputed(spark, sf_dir):
+    """X6 PreComputedTokenCosine path: the Arrow-batched SCALAR
+    (token_cosine_py — the exact profile->cosine math the canonicalization
+    rescore ships), certifying the Python form against the same DuckDB
+    count-profile oracle shape as X4."""
+    from pyspark.sql.types import DoubleType
+
+    from graph_embeddings_spark.functions.similarity import token_cosine_py
+
+    @F.pandas_udf(DoubleType())
+    def tc(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([token_cosine_py(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(tc(F.col("na"), F.col("nb")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
+def q_x8_ngram_cosine_pairs(spark, sf_dir):
+    """X8 char-3-gram cosine over gram-count profiles as the JVM column form
+    (PreComputedNgramCosine.java:10-63)."""
+    from graph_embeddings_spark.functions.similarity import ngram_cosine_col
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 250).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    sim = ngram_cosine_col(F.col("na"), F.col("nb"), 3)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
 def q_x9_numeric_similarity(spark, sf_dir):
     """X9 numeric proximity (||a-b|-d|+1)^(s-1) on order line quantities."""
     from graph_embeddings_spark.functions.similarity import numeric_similarity_col
@@ -309,20 +367,119 @@ def q_x9_numeric_similarity(spark, sf_dir):
 
 
 def q_x10_date_similarity(spark, sf_dir):
-    """X10 date-days similarity ((|Δdays|-d+1)^(s-1) shape, Date.java:60)
-    with the BACKWARDS direction gate (Date.java:52-59) over order dates."""
+    """X10 date-days similarity with the BACKWARDS direction gate over order
+    dates — THROUGH the engine's date column form
+    (functions.similarity.date_similarity_col, Date.java:31-66), not an
+    inline re-derivation: the green row certifies the shipping path."""
+    from graph_embeddings_spark.functions.similarity import date_similarity_col
+
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
-    a = o.select(F.col("o_orderkey").alias("a"), F.col("o_orderdate").alias("da"))
-    b = o.select(F.col("o_orderkey").alias("b"), F.col("o_orderdate").alias("db"))
-    delta = F.abs(F.datediff(F.col("db"), F.col("da")))
-    sim = F.pow(delta + 1.0, F.lit(-0.5))
-    gated = F.when(F.col("da") > F.col("db"), F.lit(0.0)).otherwise(sim)
+    a = o.select(F.col("o_orderkey").alias("a"), F.col("o_orderdate").cast("date").alias("da"))
+    b = o.select(F.col("o_orderkey").alias("b"), F.col("o_orderdate").cast("date").alias("db"))
+    sim = date_similarity_col(
+        F.col("da"), F.col("db"), unit="days", smooth=0.5, distance=0.0,
+        time_direction="backwards",
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.round(gated, 6).alias("sim"))
+        .select("a", "b", F.round(sim, 6).alias("sim"))
         .filter(F.col("sim") >= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# S1 source parsers + F2/F3 output filters (fixture-driven, deterministic)
+# ---------------------------------------------------------------------------
+
+_NT_FIXTURE = """\
+<http://ex.org/a> <http://ex.org/knows> <http://ex.org/b> .
+<http://ex.org/a> <http://ex.org/name> "Alice" .
+<http://ex.org/b> <http://ex.org/name> "Bo\\"b" .
+_:blank1 <http://ex.org/age> "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+<http://ex.org/c> <http://ex.org/label> "chat"@fr .
+<http://ex.org/c> <http://ex.org/knows> _:blank1 .
+# a comment line
+this line is malformed and must be dropped
+"""
+
+_TTL_FIXTURE = """\
+@prefix ex: <http://ex.org/> .
+ex:a ex:knows ex:b ;
+     ex:name "Alice" , "Alicia"@en .
+_:b1 ex:age "30"^^<http://www.w3.org/2001/XMLSchema#integer> .
+ex:b ex:knows _:b1 .
+"""
+
+
+def _fixture_file(name: str, content: str) -> str:
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="s1_fixture_")
+    path = os.path.join(d, name)
+    with open(path, "w") as f:
+        f.write(content)
+    return path
+
+
+def q_s1_parse_ntriples(spark, sf_dir):
+    """S1: the shipping N-Triples parse path end-to-end (file -> read_rdf
+    autodetect -> column-regex parser; JenaReader.java:21-42 front door).
+    Fixture covers URIs, blank subj/obj, plain / escaped / lang-tagged /
+    typed literals, comments, and a malformed line (dropped)."""
+    from graph_embeddings_spark.sources.reader import read_rdf
+
+    path = _fixture_file("fixture.nt", _NT_FIXTURE)
+    return read_rdf(spark, path).select(
+        "subj", "pred", "obj", F.col("obj_kind").cast("int").alias("obj_kind")
+    )
+
+
+def q_s1_parse_turtle(spark, sf_dir):
+    """S1: the Turtle parse path (from-scratch recursive descent,
+    sources/turtle.py) — @prefix expansion, predicate lists (;), object
+    lists (,), blank nodes, typed + lang literals."""
+    from graph_embeddings_spark.sources.reader import read_rdf
+
+    path = _fixture_file("fixture.ttl", _TTL_FIXTURE)
+    return read_rdf(spark, path).select(
+        "subj", "pred", "obj", F.col("obj_kind").cast("int").alias("obj_kind")
+    )
+
+
+def q_f2_f3_output_filter(spark, sf_dir):
+    """F2 (enabled-type) + F3 (any-prefix) output filtering through the
+    engine's filter_embeddings (EmbeddingTextWriter.java:34-37,100-131):
+    URI nodes keep two prefixes, LITERAL nodes keep two brand prefixes,
+    BLANK nodes are a disabled group (None) and must vanish entirely."""
+    from graph_embeddings_spark.config import OutputConfig
+    from graph_embeddings_spark.output import filter_embeddings
+
+    p = _t(spark, sf_dir, "part")
+    uri_nodes = p.select(
+        F.col("p_partkey").alias("node_id"),
+        F.concat(F.lit("urn:part:"), F.col("p_name")).alias("label"),
+        F.lit(0).alias("node_type"),
+    )
+    lit_nodes = p.select(
+        (F.col("p_partkey") + 1000000).alias("node_id"),
+        F.col("p_brand").alias("label"),
+        F.lit(2).alias("node_type"),
+    )
+    blank_nodes = p.select(
+        (F.col("p_partkey") + 2000000).alias("node_id"),
+        F.concat(F.lit("_:p"), F.col("p_partkey")).alias("label"),
+        F.lit(1).alias("node_type"),
+    )
+    emb = uri_nodes.unionByName(lit_nodes).unionByName(blank_nodes)
+    out = OutputConfig(
+        uri=["urn:part:small", "urn:part:red"],
+        literal=["Brand#1", "Brand#3"],
+        blank=None,
+        predicate=None,
+    )
+    return filter_embeddings(emb, out)
 
 
 # ---------------------------------------------------------------------------
@@ -647,8 +804,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_levenshtein_pairs": q_x2_levenshtein_pairs,
         "x3_token_jaccard_pairs": q_x3_token_jaccard_pairs,
         "x7_ngram_jaccard_pairs": q_x7_ngram_jaccard_pairs,
+        "x4_token_cosine_pairs": q_x4_token_cosine_pairs,
+        "x6_token_cosine_precomputed": q_x6_token_cosine_precomputed,
+        "x8_ngram_cosine_pairs": q_x8_ngram_cosine_pairs,
         "x9_numeric_similarity": q_x9_numeric_similarity,
         "x10_date_similarity": q_x10_date_similarity,
+        "s1_parse_ntriples": q_s1_parse_ntriples,
+        "s1_parse_turtle": q_s1_parse_turtle,
+        "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -847,6 +1010,138 @@ def oracle_sql() -> dict[str, str]:
                 JOIN norm nb ON nb.p_partkey = b.p_partkey
             )
             SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
+        "x4_token_cosine_pairs": """
+            WITH prof AS (
+                SELECT p_partkey, p_name,
+                       list_filter(
+                           list_transform(string_split(p_name, ' '), t -> trim(t)),
+                           t -> length(t) > 1 AND NOT list_contains(
+                               ['the','of','and','a','an','to','in','is','you','that','it',
+                                'for','on','from','are','as','with','at','or','by','but','if'], t)
+                       ) AS tk
+                FROM part WHERE p_partkey < 250
+            ), dprof AS (
+                SELECT p_partkey, p_name, tk, list_distinct(tk) AS dk FROM prof
+            ), terms AS (
+                SELECT a.p_partkey AS a, b.p_partkey AS b, a.p_name AS pa, b.p_name AS pb,
+                       coalesce(list_sum(list_transform(list_intersect(a.dk, b.dk),
+                           u -> len(list_filter(a.tk, x -> x = u))
+                              * len(list_filter(b.tk, x -> x = u)))), 0) AS dot,
+                       coalesce(list_sum(list_transform(a.dk,
+                           u -> len(list_filter(a.tk, x -> x = u))
+                              * len(list_filter(a.tk, x -> x = u)))), 0) AS na,
+                       coalesce(list_sum(list_transform(b.dk,
+                           u -> len(list_filter(b.tk, x -> x = u))
+                              * len(list_filter(b.tk, x -> x = u)))), 0) AS nb
+                FROM dprof a JOIN dprof b ON a.p_partkey < b.p_partkey
+            ), scored AS (
+                SELECT a, b, CASE WHEN pa = pb THEN 1.0
+                                  WHEN na = 0 OR nb = 0 THEN 0.0
+                                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+                FROM terms
+            )
+            SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
+        "x6_token_cosine_precomputed": """
+            WITH prof AS (
+                SELECT p_partkey, p_name,
+                       list_filter(
+                           list_transform(string_split(p_name, ' '), t -> trim(t)),
+                           t -> length(t) > 1 AND NOT list_contains(
+                               ['the','of','and','a','an','to','in','is','you','that','it',
+                                'for','on','from','are','as','with','at','or','by','but','if'], t)
+                       ) AS tk
+                FROM part WHERE p_partkey < 200
+            ), dprof AS (
+                SELECT p_partkey, p_name, tk, list_distinct(tk) AS dk FROM prof
+            ), terms AS (
+                SELECT a.p_partkey AS a, b.p_partkey AS b, a.p_name AS pa, b.p_name AS pb,
+                       coalesce(list_sum(list_transform(list_intersect(a.dk, b.dk),
+                           u -> len(list_filter(a.tk, x -> x = u))
+                              * len(list_filter(b.tk, x -> x = u)))), 0) AS dot,
+                       coalesce(list_sum(list_transform(a.dk,
+                           u -> len(list_filter(a.tk, x -> x = u))
+                              * len(list_filter(a.tk, x -> x = u)))), 0) AS na,
+                       coalesce(list_sum(list_transform(b.dk,
+                           u -> len(list_filter(b.tk, x -> x = u))
+                              * len(list_filter(b.tk, x -> x = u)))), 0) AS nb
+                FROM dprof a JOIN dprof b ON a.p_partkey < b.p_partkey
+            ), scored AS (
+                SELECT a, b, CASE WHEN pa = pb THEN 1.0
+                                  WHEN na = 0 OR nb = 0 THEN 0.0
+                                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+                FROM terms
+            )
+            SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
+        "x8_ngram_cosine_pairs": """
+            WITH norm AS (
+                SELECT p_partkey, p_name,
+                       regexp_replace(p_name, '\\s+', ' ', 'g') AS t
+                FROM part WHERE p_partkey < 250
+            ), sh AS (
+                SELECT p_partkey, p_name,
+                       list_transform(
+                           generate_series(1, greatest(length(t) - 2, 0)),
+                           g -> substring(t, g, 3)) AS gs
+                FROM norm
+            ), dsh AS (
+                SELECT p_partkey, p_name, gs, list_distinct(gs) AS dg FROM sh
+            ), terms AS (
+                SELECT a.p_partkey AS a, b.p_partkey AS b, a.p_name AS pa, b.p_name AS pb,
+                       coalesce(list_sum(list_transform(list_intersect(a.dg, b.dg),
+                           u -> len(list_filter(a.gs, x -> x = u))
+                              * len(list_filter(b.gs, x -> x = u)))), 0) AS dot,
+                       coalesce(list_sum(list_transform(a.dg,
+                           u -> len(list_filter(a.gs, x -> x = u))
+                              * len(list_filter(a.gs, x -> x = u)))), 0) AS na,
+                       coalesce(list_sum(list_transform(b.dg,
+                           u -> len(list_filter(b.gs, x -> x = u))
+                              * len(list_filter(b.gs, x -> x = u)))), 0) AS nb
+                FROM dsh a JOIN dsh b ON a.p_partkey < b.p_partkey
+            ), scored AS (
+                SELECT a, b, CASE WHEN pa = pb THEN 1.0
+                                  WHEN na = 0 OR nb = 0 THEN 0.0
+                                  ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+                FROM terms
+            )
+            SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
+        "s1_parse_ntriples": """
+            SELECT * FROM (VALUES
+                ('http://ex.org/a', 'http://ex.org/knows', 'http://ex.org/b', 0),
+                ('http://ex.org/a', 'http://ex.org/name', 'Alice', 2),
+                ('http://ex.org/b', 'http://ex.org/name', 'Bo"b', 2),
+                ('_:blank1', 'http://ex.org/age', '30', 2),
+                ('http://ex.org/c', 'http://ex.org/label', 'chat', 2),
+                ('http://ex.org/c', 'http://ex.org/knows', '_:blank1', 1)
+            ) AS t(subj, pred, obj, obj_kind)
+        """,
+        "s1_parse_turtle": """
+            SELECT * FROM (VALUES
+                ('http://ex.org/a', 'http://ex.org/knows', 'http://ex.org/b', 0),
+                ('http://ex.org/a', 'http://ex.org/name', 'Alice', 2),
+                ('http://ex.org/a', 'http://ex.org/name', 'Alicia', 2),
+                ('_:b1', 'http://ex.org/age', '30', 2),
+                ('http://ex.org/b', 'http://ex.org/knows', '_:b1', 1)
+            ) AS t(subj, pred, obj, obj_kind)
+        """,
+        "f2_f3_output_filter": """
+            WITH uri AS (
+                SELECT p_partkey AS node_id, 'urn:part:' || p_name AS label,
+                       0 AS node_type
+                FROM part
+            ), lit AS (
+                SELECT p_partkey + 1000000 AS node_id, p_brand AS label,
+                       2 AS node_type
+                FROM part
+            )
+            SELECT * FROM uri
+            WHERE label LIKE 'urn:part:small%' OR label LIKE 'urn:part:red%'
+            UNION ALL
+            SELECT * FROM lit
+            WHERE label LIKE 'Brand#1%' OR label LIKE 'Brand#3%'
         """,
         "x2_levenshtein_pairs": """
             SELECT a.p_partkey AS a, b.p_partkey AS b,

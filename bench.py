@@ -101,6 +101,88 @@ def run_queries(spark) -> dict[str, float]:
     return out
 
 
+def run_minhash_attribution(spark) -> dict:
+    """The 'log what you drop' numbers for the headline dedup_minhash_lsh
+    query (VERDICT r2 #6): candidate pairs before/after the signature-
+    estimate prefilter and the final >= θ pairs, so a reader can attribute
+    the query's cost between intrinsic pair density (the synthetic corpus
+    shares one vocabulary) and operator overhead. Untimed."""
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.datapipe.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").filter(F.col("doc_id") < 1000)
+    diag: dict = {}
+    registry: list = []
+    pairs = minhash_lsh_dedup(docs, threshold=0.8, diagnostics=diag, cache_registry=registry)
+    out = {
+        "minhash_docs": docs.count(),
+        "minhash_candidates_raw": diag["candidates_raw"].count(),
+        "minhash_candidates_post_prefilter": diag["candidates"].count(),
+        "minhash_pairs_final": pairs.count(),
+        "minhash_banding": diag["banding"],
+    }
+    for df in registry:
+        df.unpersist()
+    return out
+
+
+def synthetic_cooc(spark, n_entries: int, vocab: int = 25_000, seed: int = 42):
+    """Deterministic skewed co-occurrence for the epoch-scaling evidence:
+    node ids drawn with quadratic density toward 0 (hub skew), x in [1, 5].
+    Pure column math — identical at any parallelism."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(0, n_entries, numPartitions=64)
+
+    def node(salt):
+        u = F.pmod(F.xxhash64("id", F.lit(seed + salt)), F.lit(1 << 20)) / F.lit(float(1 << 20))
+        return F.floor(u * u * vocab).cast("long")
+
+    return e.select(
+        node(1).alias("i"),
+        (node(2) + vocab).alias("j"),
+        (1.0 + F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(5)).cast("double")).alias("x"),
+    )
+
+
+def run_glove_scale_section(spark, n_entries: int) -> dict:
+    """GloVe epoch at compute-dominated scale (>=10x the pipeline section's
+    cooc): shards sized by shards_for(co_count) — a pure function of the
+    work, so the logical job is identical at every core count and the
+    2-vs-8-core children measure executor scaling, not plan drift."""
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.glove.train import init_params_df, shards_for, train_epoch
+
+    cooc = synthetic_cooc(spark, n_entries).persist()
+    co_count = cooc.count()
+    nodes = cooc.select(F.col("i").alias("node_id")).union(cooc.select("j")).distinct()
+    n_shards = shards_for(co_count)
+    params = init_params_df(nodes, 32, 42, "adagrad").persist()
+    params.count()
+    trials = []
+    for it in range(3):  # first trial pays codegen/JIT; best of the rest
+        handles: list = []
+        t0 = time.perf_counter()
+        new_params, _ = train_epoch(
+            cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
+            iteration=it, seed=42, n_shards=n_shards, batch=4096,
+            cache_handles=handles,
+        )
+        _force(new_params)
+        trials.append(round(time.perf_counter() - t0, 3))
+        for h in handles:  # drop the epoch's cached shard output between trials
+            h.unpersist()
+    return {
+        "entries": co_count,
+        "n_shards": n_shards,
+        "trials": trials,
+        "epoch_sec": min(trials[1:]),
+        "host": host_calibration(),
+    }
+
+
 def run_pipeline_section(spark, n_pages: int) -> dict:
     """Corpus -> text extraction -> triples (throughput), then graph -> BCA
     -> one GloVe epoch (wall time). The north-rule metrics.
@@ -214,14 +296,41 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     }
 
 
+GLOVE_SCALE_ENTRIES = int(os.environ.get("SPARK_GRAFT_GLOVE_ENTRIES", "640000"))
+
+
+def _run_child(section: str, cores: int, pages: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_BENCH_CHILD="1",
+        SPARK_GRAFT_BENCH_SECTION=section,
+        SPARK_GRAFT_CPUS=str(cores),
+        SPARK_GRAFT_PAGES=str(pages),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")]
+    if proc.returncode != 0 or not lines:
+        raise RuntimeError(
+            f"bench child {section}@{cores} failed (rc={proc.returncode}); "
+            f"stderr tail:\n{proc.stderr[-2000:]}"
+        )
+    return json.loads(lines[-1][5:])
+
+
 def main():
     if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
-        # child mode: pipeline section only, emit JSON on stdout
+        # child mode: one section in a fresh JVM, emit JSON on stdout
         from graph_embeddings_spark.session import get_spark
 
         # fixed shuffle partitioning: identical logical job at every core count
         spark = get_spark("bench-child", cores=CPUS, shuffle_partitions=32)
-        stats = run_pipeline_section(spark, PAGES)
+        if os.environ.get("SPARK_GRAFT_BENCH_SECTION") == "glove_scale":
+            stats = run_glove_scale_section(spark, GLOVE_SCALE_ENTRIES)
+        else:
+            stats = run_pipeline_section(spark, PAGES)
         print("CHILD" + json.dumps(stats))
         spark.stop()
         return
@@ -232,28 +341,13 @@ def main():
     # get_spark (session.effective_cores) — local[32] on this VM regresses
     spark = get_spark("bench", cores=CPUS)
     queries = run_queries(spark)
+    minhash_attr = run_minhash_attribution(spark)
     spark.stop()
 
     # pipeline section in a FRESH child JVM (the same isolation policy the
     # scaling trials use): the query section leaves caches + GC pressure
     # behind, which measurably depresses the pipeline's steady-state numbers
-    env = dict(os.environ)
-    env.update(
-        SPARK_GRAFT_BENCH_CHILD="1",
-        SPARK_GRAFT_CPUS=str(CPUS),
-        SPARK_GRAFT_PAGES=str(PAGES),
-    )
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    child_lines = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")]
-    if proc.returncode != 0 or not child_lines:
-        raise RuntimeError(
-            f"pipeline bench child failed (rc={proc.returncode}); "
-            f"stderr tail:\n{proc.stderr[-2000:]}"
-        )
-    pipe = json.loads(child_lines[-1][5:])
+    pipe = _run_child("pipeline", CPUS, PAGES)
 
     result = {
         "metric": "headline queries + KG pipeline (triples/sec, GloVe epoch sec)",
@@ -261,31 +355,37 @@ def main():
         "unit": "sec",
         "queries": queries,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        **minhash_attr,
         # shared-host context: BENCH/BASELINE.md quiet-window reference is
         # spin_units_per_sec ~ 4.1; proportionally lower means co-tenant
         # load was compressing every number in this run
         **pipe,
     }
 
+    # GloVe epoch scaling evidence at compute-dominated cooc size (VERDICT
+    # r2 #5: the pipeline section's 63k entries are overhead-bound and
+    # anti-scale). N vs 4N cores = 2 vs 8 on this VM (raw-CPU calibration
+    # shows ~18 effective cores; counts past 8 measure oversubscription).
+    gs2 = _run_child("glove_scale", 2, PAGES)
+    gs8 = _run_child("glove_scale", 8, PAGES)
+    result["glove_scale"] = {
+        "entries": gs8["entries"],
+        "n_shards": gs8["n_shards"],
+        "local2_epoch_sec": gs2["epoch_sec"],
+        "local8_epoch_sec": gs8["epoch_sec"],
+        "local2_trials": gs2["trials"],
+        "local8_trials": gs8["trials"],
+        "efficiency_2_to_8": round(gs2["epoch_sec"] / (4 * gs8["epoch_sec"]), 3),
+        "host_local2": gs2["host"],
+        "host_local8": gs8["host"],
+    }
+
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
-        # N vs 4N cores on the same input (north_rule two-cluster-size
-        # stand-in). 2 vs 8 — a raw-CPU calibration shows this VM only has
-        # ~18 effective cores, so counts past 8 measure host oversubscription
-        # (see tools/scaling_bench.py and BENCH/BASELINE.md).
+        # full-pipeline N vs 4N evidence (north_rule two-cluster-size
+        # stand-in) — triples/sec at 2 vs 8 cores on the same input.
         scaling = {}
         for cores in (2, 8):
-            env = dict(os.environ)
-            env.update(
-                SPARK_GRAFT_BENCH_CHILD="1",
-                SPARK_GRAFT_CPUS=str(cores),
-                SPARK_GRAFT_PAGES=str(PAGES),
-            )
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=3600,
-            )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("CHILD")][-1]
-            scaling[f"local[{cores}]"] = json.loads(line[5:])
+            scaling[f"local[{cores}]"] = _run_child("pipeline", cores, PAGES)
         tp2 = scaling["local[2]"]["triples_per_sec"]
         tp8 = scaling["local[8]"]["triples_per_sec"]
         result["scaling"] = {

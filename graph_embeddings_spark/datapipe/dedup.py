@@ -174,6 +174,7 @@ def minhash_lsh_dedup(
     bands: int | None = None,
     estimate_margin: float | None = 0.2,
     cache_registry: list | None = None,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """-> (a, b, jac >= threshold): banded-MinHash candidates + exact
     rescore. The scale path: candidate generation touches each doc
@@ -233,7 +234,8 @@ def minhash_lsh_dedup(
     sig = minhash_signatures(with_sh, "id", F.col("_sh"), num_hashes)
     est_min = None if estimate_margin is None else threshold - estimate_margin
     cands = lsh_candidate_pairs_filtered(
-        sig, "id", num_hashes, bands, est_min=est_min, cache_registry=cache_registry
+        sig, "id", num_hashes, bands, est_min=est_min,
+        cache_registry=cache_registry, diagnostics=diagnostics,
     )
     arrs = with_sh.select("id", "_sh", F.size("_sh").alias("_sz"))
     inter = F.size(F.array_intersect(F.col("_sha"), F.col("_shb")))

@@ -2,11 +2,14 @@
 metadata, processed through Arrow-batched mapInPandas stages.
 
 The Spark-side machinery (schemas, batch shapes, partition-preserving UDF
-signatures, metadata propagation) is real and tested; the codec kernels are
-STUBS — the sandbox has no image/audio libraries, so decode is a
-deterministic fake behind `_decode_image_stub` and the real-library hook
-raises NotImplementedError with a clear message. Swapping in PIL/ffmpeg
-changes ONE function per modality, nothing in the Spark plan.
+signatures, metadata propagation) is real and tested. The IMAGE path is a
+real codec: BMP payloads (8-bit paletted / 24-bit BGR) decode through the
+from-spec parser in datapipe/bmp.py — the synthetic media corpus emits
+genuine BMP files and tests check closed-form histograms against the
+encoded pixels. Audio/video kernels remain STUBS — the sandbox has no
+ffmpeg — with a deterministic fake behind `_decode_image_stub` as the
+non-BMP fallback; swapping in PIL/ffmpeg changes ONE function per
+modality, nothing in the Spark plan.
 
 Schemas:
     media(media_id long, kind string, payload binary,
@@ -47,8 +50,24 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     return np.tile(buf, reps)[: width * height].reshape(height, width)
 
 
+def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Image decode dispatch: real BMP codec for BMP payloads (the synthetic
+    corpus and any 8/24-bpp uncompressed BMP input), deterministic stub for
+    anything else (no PIL in this sandbox)."""
+    from .bmp import decode_bmp, is_bmp
+
+    payload = bytes(payload or b"")
+    if is_bmp(payload):
+        return decode_bmp(payload)
+    return _decode_image_stub(payload, width, height)
+
+
 def synthetic_media_df(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame:
-    """Deterministic corpus of fake media rows (pure function of (seed, id))."""
+    """Deterministic corpus of media rows (pure function of (seed, id)).
+    Image rows carry REAL encoded files (8-bit grayscale BMPs via the
+    from-spec codec in bmp.py); audio/video payloads stay opaque bytes for
+    the declared stub kernels."""
+    from .bmp import encode_bmp_gray8
 
     def gen(batches):
         for pdf in batches:
@@ -57,10 +76,15 @@ def synthetic_media_df(spark, n: int, seed: int = 42, partitions: int = 4) -> Da
                 mid = int(mid)
                 rng = np.random.default_rng([seed, mid])
                 kind = ["image", "audio", "video"][mid % 3]
-                payload = rng.integers(0, 256, size=64 + mid % 64, dtype=np.uint8).tobytes()
+                width, height = 8 + mid % 8, 8
+                if kind == "image":
+                    img = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
+                    payload = encode_bmp_gray8(img)
+                else:
+                    payload = rng.integers(0, 256, size=64 + mid % 64, dtype=np.uint8).tobytes()
                 meta = {
-                    "width": 8 + mid % 8,
-                    "height": 8,
+                    "width": width,
+                    "height": height,
                     "sample_rate": 16000 if kind == "audio" else 0,
                     "n_frames": 10 + mid % 5 if kind == "video" else 1,
                 }
@@ -72,14 +96,14 @@ def synthetic_media_df(spark, n: int, seed: int = 42, partitions: int = 4) -> Da
 
 def image_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
     """images -> (media_id, feat array<float>): intensity histogram of the
-    decoded grid. Arrow-batched; per-batch numpy, no per-row Python at the
-    Spark layer."""
+    decoded grid (REAL decode for BMP payloads). Arrow-batched; per-batch
+    numpy, no per-row Python at the Spark layer."""
 
     def extract(batches):
         for pdf in batches:
             ids, feats = [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                img = _decode_image_stub(payload, int(meta["width"]), int(meta["height"]))
+                img = _decode_image(payload, int(meta["width"]), int(meta["height"]))
                 hist, _ = np.histogram(img, bins=n_bins, range=(0, 256))
                 total = hist.sum() or 1
                 ids.append(int(mid))
@@ -101,7 +125,7 @@ def resize_images(media: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame
         for pdf in batches:
             ids, blobs = [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                img = _decode_image_stub(payload, int(meta["width"]), int(meta["height"]))
+                img = _decode_image(payload, int(meta["width"]), int(meta["height"]))
                 if img.size == 0:
                     out = b""
                 else:

@@ -164,6 +164,7 @@ def lsh_candidate_pairs_filtered(
     max_bucket: int = 1000,
     est_min: float | None = None,
     cache_registry: list | None = None,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Band join + signature-estimate prefilter FUSED into one stage.
 
@@ -172,7 +173,13 @@ def lsh_candidate_pairs_filtered(
     the bucket join itself (zip_with over the two arrays) — before the
     distinct — instead of re-joining the signature table twice afterwards.
     est_min: drop pairs whose estimated jaccard (matching fraction) is
-    below it; None keeps every bucket collision."""
+    below it; None keeps every bucket collision.
+
+    diagnostics (the 'log what you drop' hook): when a dict is passed it
+    receives 'candidates_raw' (distinct bucket-collision pairs BEFORE the
+    estimate prefilter) and 'candidates' (after) as unevaluated DataFrames —
+    benches count them to attribute cost between intrinsic pair density and
+    operator overhead."""
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
@@ -201,12 +208,18 @@ def lsh_candidate_pairs_filtered(
     a = sized.select(F.col(id_col).alias("a"), F.col("_sig").alias("_siga"), "band", "bucket")
     b2 = sized.select(F.col(id_col).alias("b"), F.col("_sig").alias("_sigb"), "band", "bucket")
     joined = a.join(b2, ["band", "bucket"], "inner").filter(F.col("a") < F.col("b"))
+    if diagnostics is not None:
+        diagnostics["candidates_raw"] = joined.select("a", "b").distinct()
     if est_min is not None:
         matches = F.size(
             F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda t: t)
         )
         joined = joined.filter(matches >= F.lit(int(est_min * num_hashes + 0.999999)))
-    return joined.select("a", "b").distinct()
+    out = joined.select("a", "b").distinct()
+    if diagnostics is not None:
+        diagnostics["candidates"] = out
+        diagnostics["banding"] = {"num_hashes": num_hashes, "bands": bands}
+    return out
 
 
 def lsh_candidate_pairs(

@@ -332,10 +332,112 @@ def ngram_jaccard_col(a: Column, b: Column, k: int = 3) -> Column:
     )
 
 
+def _count_in(arr: Column, u: Column) -> Column:
+    """Multiplicity of element u in array arr (count profile lookup)."""
+    return F.size(F.filter(arr, lambda x: x == u))
+
+
+def _profile_cosine_col(fa: Column, fb: Column) -> Column:
+    """Cosine over the COUNT PROFILES of two element arrays (full arrays,
+    duplicates = counts — TokenCosine.java/_cosine semantics). All sums are
+    integer-valued (counts and count products), so the double arithmetic is
+    exact and engine-order-independent — the DuckDB oracle matches without
+    tolerance."""
+    da, db = F.array_distinct(fa), F.array_distinct(fb)
+    dot = F.aggregate(
+        F.array_intersect(da, db),
+        F.lit(0.0),
+        lambda acc, u: acc + _count_in(fa, u).cast("double") * _count_in(fb, u),
+    )
+
+    def sq_norm(full, dist):
+        return F.aggregate(
+            dist, F.lit(0.0),
+            lambda acc, u: acc + F.pow(_count_in(full, u).cast("double"), 2),
+        )
+
+    na, nb = sq_norm(fa, da), sq_norm(fb, db)
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(
+        dot / (F.sqrt(na) * F.sqrt(nb))
+    )
+
+
+def token_cosine_col(a: Column, b: Column) -> Column:
+    """X4/X6 token cosine as JVM column math over token-count profiles
+    (TokenCosine.java:10-45). Interpreted HOFs — fine in bounded driver/
+    rescore paths; corpus-scale rescoring uses token_cosine_py inside the
+    Arrow-batched canonicalization UDF."""
+    ta, tb = legal_tokens_col(a), legal_tokens_col(b)
+    return F.when(a == b, F.lit(1.0)).otherwise(_profile_cosine_col(ta, tb))
+
+
+def _char_grams_full_col(c: Column, k: int) -> Column:
+    """ALL char k-grams (with duplicates — counts matter for cosine) of the
+    whitespace-collapsed string (debatty ShingleBased profile)."""
+    s = F.regexp_replace(c, r"\s+", " ")
+    n = F.length(s) - (k - 1)
+    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
+    return F.when(n >= 1, F.transform(idx, lambda i: F.substr(s, i, F.lit(k)))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_cosine_col(a: Column, b: Column, k: int = 3) -> Column:
+    """X8 char-k-gram cosine over gram-count profiles
+    (PreComputedNgramCosine.java:10-63)."""
+    return F.when(a == b, F.lit(1.0)).otherwise(
+        _profile_cosine_col(_char_grams_full_col(a, k), _char_grams_full_col(b, k))
+    )
+
+
 def normalized_levenshtein_col(a: Column, b: Column) -> Column:
     """X2 via the builtin levenshtein."""
     m = F.greatest(F.length(a), F.length(b))
     return F.when(m == 0, F.lit(1.0)).otherwise(1.0 - F.levenshtein(a, b) / m)
+
+
+def _chrono_months_between_col(da: Column, db: Column) -> Column:
+    """ChronoUnit.MONTHS.between(da, db) as column math: whole months,
+    truncated toward zero (mirrors _months_between above)."""
+    raw = (F.year(db) - F.year(da)) * 12 + (F.month(db) - F.month(da))
+    fwd = raw - F.when(F.dayofmonth(db) < F.dayofmonth(da), 1).otherwise(0)
+    rev = raw + F.when(F.dayofmonth(da) < F.dayofmonth(db), 1).otherwise(0)
+    return F.when(db >= da, fwd).otherwise(rev)
+
+
+def date_similarity_col(
+    da: Column,
+    db: Column,
+    unit: str = "days",
+    smooth: float = 0.5,
+    distance: float = 0.0,
+    time_direction: str = "bidirectional",
+) -> Column:
+    """X10 over pre-parsed DATE columns — the engine's relational date path
+    (Date.java:31-66 semantics; the string form with pattern parsing is
+    date_similarity_py, parity-tested against this in test_similarity.py).
+    Equality -> 1.0 BEFORE the direction gate, exactly like the scalar."""
+    td = time_direction.lower()
+    if unit == "days":
+        delta = F.datediff(db, da).cast("double")
+    elif unit == "months":
+        delta = _chrono_months_between_col(da, db).cast("double")
+    elif unit == "years":
+        m = _chrono_months_between_col(da, db)
+        delta = (
+            F.when(m >= 0, F.floor(m / 12)).otherwise(-F.floor(-m / 12)).cast("double")
+        )
+    else:
+        raise ValueError(f"unknown unit {unit}")
+    sim = F.pow(F.abs(F.abs(delta) - F.lit(distance)) + 1.0, F.lit(smooth - 1.0))
+    out = F.when(da.isNull() | db.isNull(), F.lit(0.0)).when(da == db, F.lit(1.0))
+    if td == "backwards":
+        out = out.when(da > db, F.lit(0.0))
+    elif td == "forwards":
+        out = out.when(da < db, F.lit(0.0))
+    elif td != "bidirectional":
+        raise ValueError(f"unknown time_direction {time_direction}")
+    return out.otherwise(sim)
 
 
 def numeric_similarity_col(a: Column, b: Column, smooth: float, distance: float) -> Column:

@@ -68,17 +68,95 @@ def init_params_df(nodes: DataFrame, dim: int, seed: int, method: str) -> DataFr
     return nodes.select("node_id").mapInPandas(gen, PARAMS_SCHEMA)
 
 
-def _sum_arrays(col: str):
-    """Elementwise sum of collected float arrays — pure JVM (aggregate +
-    zip_with), no Python in the reduce."""
-    lst = F.collect_list(col)
-    return F.aggregate(
-        lst,
-        F.expr("cast(array() as array<double>)"),
-        lambda acc, x: F.when(F.size(acc) == 0, x.cast("array<double>")).otherwise(
-            F.zip_with(acc, x.cast("array<double>"), lambda a, b: a + b)
-        ),
+def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> DataFrame:
+    """Shard copies + pre-epoch params -> new params, ONE Arrow stage.
+
+    Combine semantics (measured on the synthetic corpus, 12 epochs, dim
+    16, 4-16 shards):
+      hybrid (default): vectors & optimizer state accumulate their shard
+        deltas (new = old + Σ_s(θ_s − old) — the shared-memory-free
+        equivalent of the reference's hogwild sum, Optimizer.java:77-94),
+        while the biases take the MEAN of the shard copies. The lr-free
+        bias step (Adagrad.java:88-89) is a fixed-point iteration, not a
+        descent step — summing its deltas across k shards overshoots k×
+        (cost spikes 30× in epoch 2-3), while the mean of per-shard fixed
+        points sits at the global fixed point. MRR parity with the
+        single-shard run (0.89 vs 0.89); sum_delta got 0.22, mean 0.03.
+      sum_delta: delta accumulation for everything (kept for study).
+      mean: plain parameter averaging for everything (kept for comparison).
+
+    Physical shape (replaces r2's collect_list + interpreted aggregate/
+    zip_with combine, which was 65 of an 84 s epoch at 640k entries — the
+    same interpreted-HOF inversion as the MinHash shingler and SimHash
+    kernels): copies ∪ old params are repartitioned ONCE on node_id, then a
+    per-partition numpy segment-sum (np.add.reduceat over the id-sorted
+    block, old row first per group) computes the combine, the old-params
+    join, AND the untouched carry-through in the same pass — for every
+    mode the formula new = (sum − old) · w + (1 − n·w′) · old degrades to
+    `old` at n = 0, so untouched nodes need no separate branch."""
+    import numpy as np
+
+    spark = params.sparkSession
+    pp = max(8, spark.sparkContext.defaultParallelism)
+    unioned = (
+        copies.withColumn("_old", F.lit(0))
+        .unionByName(
+            params.select(
+                "node_id", "focus", "context", "f_bias", "c_bias", "state"
+            ).withColumn("_old", F.lit(1))
+        )
+        .repartition(pp, "node_id")
     )
+
+    def gen(batches):
+        frames = list(batches)
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True)
+        ids = pdf["node_id"].to_numpy()
+        oldf = pdf["_old"].to_numpy()
+        # primary sort: node_id; secondary: old row FIRST in its group
+        order = np.lexsort((1 - oldf, ids))
+        ids_s = ids[order]
+        uniq, starts, counts = np.unique(ids_s, return_index=True, return_counts=True)
+        n = (counts - 1).astype(np.float64)  # shard copies per node
+        touched = n > 0
+
+        def combine_arr(col):
+            mat = np.stack(pdf[col].to_numpy())[order].astype(np.float64)
+            total = np.add.reduceat(mat, starts, axis=0)
+            old = mat[starts]
+            csum = total - old
+            if average_mode == "mean":
+                out = old.copy()
+                out[touched] = csum[touched] / n[touched, None]
+            else:  # hybrid / sum_delta: delta accumulation
+                out = csum + (1.0 - n)[:, None] * old
+            return out
+
+        def combine_scalar(col):
+            v = pdf[col].to_numpy()[order].astype(np.float64)
+            total = np.add.reduceat(v, starts)
+            old = v[starts]
+            csum = total - old
+            if average_mode == "sum_delta":
+                return csum + (1.0 - n) * old
+            out = old.copy()  # hybrid (bias mean) and mean
+            out[touched] = csum[touched] / n[touched]
+            return out
+
+        yield pd.DataFrame(
+            {
+                "node_id": uniq,
+                "focus": list(combine_arr("focus").astype(np.float32)),
+                "context": list(combine_arr("context").astype(np.float32)),
+                "f_bias": combine_scalar("f_bias"),
+                "c_bias": combine_scalar("c_bias"),
+                "state": list(combine_arr("state").astype(np.float32)),
+            }
+        )
+
+    return unioned.mapInPandas(gen, PARAMS_SCHEMA)
 
 
 def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: int, batch: int):
@@ -186,67 +264,29 @@ def train_epoch(
         cache_handles.append(out)
     total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
 
-    updated = out.filter(F.col("node_id") >= 0).groupBy("node_id").agg(
-        F.count("*").alias("_n"),
-        _sum_arrays("focus").alias("_sf"),
-        _sum_arrays("context").alias("_sc"),
-        F.sum("f_bias").alias("_sfb"),
-        F.sum("c_bias").alias("_scb"),
-        _sum_arrays("state").alias("_ss"),
-    )
-
-    # Combine the k shard copies of each node with the pre-epoch value.
-    # Measured on the synthetic corpus (12 epochs, dim 16, 4-16 shards):
-    #   hybrid (default): vectors & optimizer state accumulate their shard
-    #     deltas (new = old + Σ_s(θ_s − old) — the shared-memory-free
-    #     equivalent of the reference's hogwild sum, Optimizer.java:77-94),
-    #     while the biases take the MEAN of the shard copies. The lr-free
-    #     bias step (Adagrad.java:88-89) is a fixed-point iteration, not a
-    #     descent step — summing its deltas across k shards overshoots k×
-    #     (cost spikes 30× in epoch 2-3), while the mean of per-shard fixed
-    #     points sits at the global fixed point. MRR parity with the
-    #     single-shard run (0.89 vs 0.89); sum_delta got 0.22, mean 0.03.
-    #   sum_delta: delta accumulation for everything (kept for study).
-    #   mean: plain parameter averaging for everything — damps the
-    #     effective step by k (kept for comparison runs).
-    if average_mode in ("hybrid", "sum_delta"):
-        def arr(sum_c, old_c):
-            return F.zip_with(
-                F.col(sum_c), F.col(f"p.{old_c}"),
-                lambda s, o: (s - (F.col("_n") - 1) * o.cast("double")).cast("float"),
-            )
-
-        if average_mode == "hybrid":
-            def scalar(sum_c, old_c):  # mean of touched copies for biases
-                return F.col(sum_c) / F.col("_n")
-        else:
-            def scalar(sum_c, old_c):
-                return F.col(sum_c) - (F.col("_n") - 1) * F.col(f"p.{old_c}")
-    elif average_mode == "mean":
-        def arr(sum_c, old_c):
-            return F.transform(F.col(sum_c), lambda v: (v / F.col("_n")).cast("float"))
-
-        def scalar(sum_c, old_c):
-            return F.col(sum_c) / F.col("_n")
-    else:
+    if average_mode not in ("hybrid", "sum_delta", "mean"):
         raise ValueError(f"unknown average_mode {average_mode}")
-
-    joined = params.alias("p").join(updated.alias("u"), "node_id", "left")
-    untouched = [F.col(f"p.{c}") for c in ("focus", "context", "f_bias", "c_bias", "state")]
-    combined = [
-        arr("_sf", "focus"), arr("_sc", "context"),
-        scalar("_sfb", "f_bias"), scalar("_scb", "c_bias"), arr("_ss", "state"),
-    ]
-    new_params = joined.select(
-        "node_id",
-        *[
-            F.when(F.col("_n").isNull(), old).otherwise(new).alias(c)
-            for old, new, c in zip(
-                untouched, combined, ("focus", "context", "f_bias", "c_bias", "state")
-            )
-        ],
+    copies = out.filter(F.col("node_id") >= 0).select(
+        "node_id", "focus", "context", "f_bias", "c_bias", "state"
     )
+    new_params = _combine_epoch(copies, params, average_mode)
     return new_params, float(total_cost)
+
+
+def shards_for(co_count: int, entries_per_shard: int = 25_000, lo: int = 4, hi: int = 4096) -> int:
+    """Shard count sized from the WORK (cooc entries), not the cluster.
+
+    A fixed function of co_count keeps the logical job identical at every
+    parallelism level (the two-cluster-size scaling comparison then differs
+    only in executor slots), and entries-per-shard targets keep the
+    per-shard kernel compute well above the fixed cogroup/Arrow overhead:
+    BASELINE.md r2 measured the epoch ANTI-scaling 2->8 cores at 63k
+    entries × 32 fixed shards (~2k entries/shard — overhead-dominated;
+    6.59 s at local[2] vs 8.00 s at local[8]). At 10^12-doc scale co_count
+    dwarfs entries_per_shard and this saturates any executor count up to
+    `hi`; a shard's touched params stay ~entries_per_shard·dim·40 B —
+    executor-memory-safe."""
+    return max(lo, min(hi, round(co_count / entries_per_shard)))
 
 
 @dataclass
@@ -283,7 +323,7 @@ def optimize(
     epoch (parquet) — `resume_params` reloads them for mid-run resume."""
     spark = cooc.sparkSession
     if n_shards is None:
-        n_shards = max(4, spark.sparkContext.defaultParallelism)
+        n_shards = shards_for(co_count)
     params = start_params if start_params is not None else init_params_df(nodes, dim, seed, method)
     # stable hash-partitioning on node_id, maintained across epochs: the
     # per-epoch touched-params join and the combine-result join then only

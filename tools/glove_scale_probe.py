@@ -1,0 +1,79 @@
+"""One-off probe: GloVe epoch wall time at a given core count / cooc size /
+shard count, on a deterministic synthetic co-occurrence (zipf-ish skew).
+Used to size shards_for() and to produce the 2-vs-8-core scaling evidence.
+
+    python tools/glove_scale_probe.py <cores> <n_entries> [n_shards]
+
+Prints one line: PROBE {json}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def synthetic_cooc(spark, n_entries: int, vocab: int, seed: int = 42):
+    """Deterministic skewed cooc: node ids drawn with quadratic density
+    toward 0 (hub nodes), x in [1, 5] — pure column math, identical at any
+    parallelism."""
+    from pyspark.sql import functions as F
+
+    e = spark.range(0, n_entries, numPartitions=64)
+    def node(salt):
+        u = F.pmod(F.xxhash64("id", F.lit(seed + salt)), F.lit(1 << 20)) / F.lit(float(1 << 20))
+        return F.floor(u * u * vocab).cast("long")
+    return e.select(
+        node(1).alias("i"),
+        (node(2) + vocab).alias("j"),
+        (1.0 + F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(5)).cast("double")).alias("x"),
+    )
+
+
+def main():
+    cores = int(sys.argv[1])
+    n_entries = int(sys.argv[2])
+    n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else None
+
+    from graph_embeddings_spark.session import get_spark
+    from graph_embeddings_spark.glove.train import init_params_df, shards_for, train_epoch
+
+    spark = get_spark("glove-scale", cores=cores, shuffle_partitions=32)
+    vocab = 25_000
+    cooc = synthetic_cooc(spark, n_entries, vocab).persist()
+    co_count = cooc.count()
+    nodes = cooc.select(F_col("i").alias("node_id")).union(cooc.select("j")).distinct()
+
+    if n_shards is None:
+        n_shards = shards_for(co_count)
+    params = init_params_df(nodes, 32, 42, "adagrad").persist()
+    params.count()
+
+    trials = []
+    for it in range(3):
+        handles = []
+        t0 = time.perf_counter()
+        new_params, _ = train_epoch(
+            cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
+            iteration=it, seed=42, n_shards=n_shards, batch=4096,
+            cache_handles=handles,
+        )
+        new_params.write.mode("overwrite").format("noop").save()
+        trials.append(round(time.perf_counter() - t0, 3))
+        for h in handles:
+            h.unpersist()
+    print("PROBE" + json.dumps({
+        "cores": cores, "entries": co_count, "n_shards": n_shards,
+        "trials": trials, "best": min(trials[1:]),  # first pays codegen
+    }))
+    spark.stop()
+
+
+from pyspark.sql.functions import col as F_col  # noqa: E402
+
+if __name__ == "__main__":
+    main()
