@@ -448,6 +448,32 @@ def q_s1_parse_turtle(spark, sf_dir):
     )
 
 
+_HDT_FIXTURE = [
+    ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b", 0),
+    ("http://ex.org/a", "http://ex.org/name", "Alice", 2),
+    ("http://ex.org/b", "http://ex.org/knows", "_:blank1", 1),
+    ("_:blank1", "http://ex.org/age", "30", 2),
+    ("http://ex.org/b", "http://ex.org/name", 'Bo"b', 2),
+]
+
+
+def q_s1_parse_hdt(spark, sf_dir):
+    """S1: the HDT binary path (from-scratch codec, sources/hdt.py —
+    the reference's native HDT load, JenaReader.java:28-31). The fixture
+    file is produced by the repo's own encoder; the oracle VALUES relation
+    is the hand-authored triple list, so the writer->reader round trip
+    must reproduce it exactly (shared dictionary terms, blank subject and
+    object, quoted literal)."""
+    from graph_embeddings_spark.sources.hdt import write_hdt
+    from graph_embeddings_spark.sources.reader import read_rdf
+
+    path = _fixture_file("fixture.hdt", "")  # reserve the temp dir + name
+    write_hdt(_HDT_FIXTURE, path)
+    return read_rdf(spark, path).select(
+        "subj", "pred", "obj", F.col("obj_kind").cast("int").alias("obj_kind")
+    )
+
+
 def q_f2_f3_output_filter(spark, sf_dir):
     """F2 (enabled-type) + F3 (any-prefix) output filtering through the
     engine's filter_embeddings (EmbeddingTextWriter.java:34-37,100-131):
@@ -811,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_date_similarity": q_x10_date_similarity,
         "s1_parse_ntriples": q_s1_parse_ntriples,
         "s1_parse_turtle": q_s1_parse_turtle,
+        "s1_parse_hdt": q_s1_parse_hdt,
         "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1125,6 +1152,15 @@ def oracle_sql() -> dict[str, str]:
                 ('http://ex.org/a', 'http://ex.org/name', 'Alicia', 2),
                 ('_:b1', 'http://ex.org/age', '30', 2),
                 ('http://ex.org/b', 'http://ex.org/knows', '_:b1', 1)
+            ) AS t(subj, pred, obj, obj_kind)
+        """,
+        "s1_parse_hdt": """
+            SELECT * FROM (VALUES
+                ('http://ex.org/a', 'http://ex.org/knows', 'http://ex.org/b', 0),
+                ('http://ex.org/a', 'http://ex.org/name', 'Alice', 2),
+                ('http://ex.org/b', 'http://ex.org/knows', '_:blank1', 1),
+                ('_:blank1', 'http://ex.org/age', '30', 2),
+                ('http://ex.org/b', 'http://ex.org/name', 'Bo"b', 2)
             ) AS t(subj, pred, obj, obj_kind)
         """,
         "f2_f3_output_filter": """

@@ -7,8 +7,8 @@ the file name; here the extension does, with an explicit override).
 
 All formats share the triples(subj, pred, obj, obj_kind) contract, so every
 downstream stage (materialize, canonicalize, BCA, GloVe) is source-agnostic.
-HDT is not supported (binary, single-file, inherently non-splittable — the
-reference shells out to an external tool for it as well; convert upstream).
+HDT (the reference's native binary path, HDTManager.loadHDT at
+JenaReader.java:28-31) is read by the from-scratch codec in sources/hdt.py.
 """
 
 from __future__ import annotations
@@ -25,27 +25,17 @@ _EXT_TO_FMT = {
     ".rdf": "rdfxml",
     ".owl": "rdfxml",
     ".xml": "rdfxml",
+    ".hdt": "hdt",
 }
 
 
 def detect_format(path: str) -> str:
     ext = os.path.splitext(path.rstrip("/"))[1].lower()
-    if ext == ".hdt":
-        # Explicit contract, not a silent gap: the reference reads HDT via
-        # Jena's HDT binding (util/read/JenaReader.java:28-31). HDT is a
-        # single-file binary with front-coded dictionaries — inherently
-        # non-splittable, so a faithful Spark source would serialize the
-        # whole read through one task anyway. Convert upstream.
-        raise NotImplementedError(
-            "HDT input is not supported: it is a non-splittable single-file "
-            "binary format. Convert upstream (e.g. `hdt2rdf file.hdt file.nt`, "
-            "rdfhdt.org tools) and load the N-Triples/Turtle output."
-        )
     if ext in _EXT_TO_FMT:
         return _EXT_TO_FMT[ext]
     raise ValueError(
         f"cannot autodetect RDF format of {path!r}; pass fmt= one of "
-        "ntriples/turtle/rdfxml"
+        "ntriples/turtle/rdfxml/hdt"
     )
 
 
@@ -63,4 +53,8 @@ def read_rdf(spark, path: str, fmt: str | None = None) -> DataFrame:
         from .rdfxml import read_rdfxml
 
         return read_rdfxml(spark, path)
+    if fmt == "hdt":
+        from .hdt import read_hdt
+
+        return read_hdt(spark, path)
     raise ValueError(f"unknown RDF format {fmt!r}")

@@ -233,8 +233,7 @@ def test_read_rdf_dispatch(spark, tmp_path):
     assert detect_format("a/b.trig") == "turtle"
     assert detect_format("a/b.nt") == "ntriples"
     assert detect_format("a/b.rdf") == "rdfxml"
-    with pytest.raises(NotImplementedError, match="hdt2rdf"):
-        detect_format("a/b.hdt")  # explicit convert-upstream contract
+    assert detect_format("a/b.hdt") == "hdt"
     with pytest.raises(ValueError):
         detect_format("a/b.unknown")
     (tmp_path / "g.ttl").write_text(
