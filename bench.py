@@ -162,23 +162,23 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
     trials = []
-    for it in range(3):  # first trial pays codegen/JIT; best of the rest
-        handles: list = []
+    for it in range(3):
         t0 = time.perf_counter()
-        new_params, _ = train_epoch(
+        new_params, _obs = train_epoch(
             cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
             iteration=it, seed=42, n_shards=n_shards, batch=4096,
-            cache_handles=handles,
+            eager_cost=False,  # fused one-job epoch, the optimize() path
         )
         _force(new_params)
         trials.append(round(time.perf_counter() - t0, 3))
-        for h in handles:  # drop the epoch's cached shard output between trials
-            h.unpersist()
     return {
         "entries": co_count,
         "n_shards": n_shards,
         "trials": trials,
-        "epoch_sec": min(trials[1:]),
+        # min over ALL trials: codegen can only inflate trial 1, never
+        # deflate it, and co-tenant bursts (2-6x on this host) can land on
+        # any trial — min is the noise-floor estimator either way
+        "epoch_sec": min(trials),
         "host": host_calibration(),
     }
 
@@ -271,9 +271,9 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     g_trials = []
     for it in range(2):
         t2 = time.perf_counter()
-        new_params, _cost = train_epoch(
+        new_params, _obs = train_epoch(
             cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
-            iteration=it, seed=42, n_shards=32, batch=4096,
+            iteration=it, seed=42, n_shards=32, batch=4096, eager_cost=False,
         )
         _force(new_params)
         g_trials.append(time.perf_counter() - t2)

@@ -167,7 +167,8 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
                 columns=["node_id", "focus", "context", "f_bias", "c_bias", "state", "cost"]
             )
         node_ids = params_pdf["node_id"].to_numpy()
-        local = {int(n): k for k, n in enumerate(node_ids)}
+        order = np.argsort(node_ids)  # ids unique -> total order
+        sorted_ids = node_ids[order]
         focus = np.stack(params_pdf["focus"].to_numpy()).astype(np.float32)
         context = np.stack(params_pdf["context"].to_numpy()).astype(np.float32)
         f_bias = params_pdf["f_bias"].to_numpy().astype(np.float32)
@@ -177,8 +178,10 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
         # deterministic within-shard order (the shard's slice of the epoch
         # permutation): sort by the precomputed shuffle key
         cooc_pdf = cooc_pdf.sort_values("_ord", kind="mergesort")
-        iu = cooc_pdf["i"].map(local).to_numpy(dtype=np.int64)
-        jv = cooc_pdf["j"].map(local).to_numpy(dtype=np.int64)
+        # vectorized global->local id mapping (every i/j is in params by
+        # construction of the touched-params join)
+        iu = order[np.searchsorted(sorted_ids, cooc_pdf["i"].to_numpy())]
+        jv = order[np.searchsorted(sorted_ids, cooc_pdf["j"].to_numpy())]
         x = cooc_pdf["x"].to_numpy(dtype=np.float64)
 
         shard_cost = train_shard(
@@ -226,6 +229,7 @@ def train_epoch(
     batch: int = 4096,
     average_mode: str = "hybrid",
     cache_handles: list | None = None,
+    eager_cost: bool = True,
 ) -> tuple[DataFrame, float]:
     """One epoch -> (new params DF, summed cost). Lazy until the cost agg.
 
@@ -233,8 +237,35 @@ def train_epoch(
     the caller can unpersist it once new_params is materialized (optimize
     does after each epoch checkpoint) — otherwise cached shard outputs
     accumulate across a long run. None = caller accepts the leak (single-
-    epoch uses; Spark's ContextCleaner reclaims on GC eventually)."""
-    shard_key = F.pmod(F.xxhash64("i", "j", F.lit(seed + iteration)), F.lit(n_shards))
+    epoch uses; Spark's ContextCleaner reclaims on GC eventually).
+
+    eager_cost=False fuses the epoch into ONE job: instead of persisting
+    the cogroup output and running a separate cost-aggregation pass, a
+    CollectMetrics node (`Observation`) sums the per-shard cost rows
+    during the SAME materialization that produces the new params, and the
+    return value is (new_params, Observation) — the caller MUST
+    materialize new_params exactly once (checkpoint / write / count;
+    verified to fire for all of these incl. localCheckpoint) and then read
+    `obs.get[\"cost\"]`. This halves the epoch's job count and drops the
+    242k-row shard-output cache entirely (optimize and the bench use it;
+    the eager default keeps the simple call-and-get contract for tests
+    and one-shot callers)."""
+    # GRID sharding (block-partitioned SGD): nodes hash into G row-blocks
+    # (focus side) x G column-blocks (context side), shard = (bi, bj).
+    # A node's params then ship to at most 2G of the G^2 shards (its grid
+    # row + column) instead of potentially all of them: at 640k synthetic
+    # entries the hub-skewed corpus shipped 717k param-copy rows for a 50k
+    # vocab (14x duplication) under flat hashing — the copy traffic, not
+    # the update math, was the epoch's scaling ceiling (Arrow + shuffle +
+    # persist of copies dominated; the kernel fn itself is 0.3 s/task).
+    # The blocks are re-drawn per epoch (seed+iteration), preserving T1's
+    # epoch re-permutation contract (Permutation.java:5-24 analog).
+    grid = max(1, round(n_shards ** 0.5))
+    n_shards = grid * grid
+    shard_key = (
+        F.pmod(F.xxhash64("i", F.lit(seed + iteration)), F.lit(grid)) * grid
+        + F.pmod(F.xxhash64("j", F.lit(seed + iteration + 7919)), F.lit(grid))
+    )
     # one explicit clustering by shard: the distinct below (hash(shard)
     # satisfies ClusteredDistribution(shard, node_id)) and the cogroup's
     # cooc side both reuse this exchange instead of re-shuffling
@@ -253,19 +284,29 @@ def train_epoch(
         (F.col("shard") + F.lit(0)).alias("gshard"),
         "node_id", "focus", "context", "f_bias", "c_bias", "state",
     )
+    if average_mode not in ("hybrid", "sum_delta", "mean"):
+        raise ValueError(f"unknown average_mode {average_mode}")
     train_fn = _make_train_fn(dim, method, cost, max_x, iteration, batch)
-    out = (
+    raw = (
         sharded.groupBy("shard")
         .cogroup(shard_params.groupBy("gshard"))
         .applyInPandas(train_fn, _OUT_SCHEMA)
-        .persist()
     )
+
+    if not eager_cost:
+        from pyspark.sql import Observation
+
+        obs = Observation(f"epoch_cost_{iteration}")
+        out = raw.observe(obs, F.sum("cost").alias("cost"))
+        copies = out.filter(F.col("node_id") >= 0).select(
+            "node_id", "focus", "context", "f_bias", "c_bias", "state"
+        )
+        return _combine_epoch(copies, params, average_mode), obs
+
+    out = raw.persist()
     if cache_handles is not None:
         cache_handles.append(out)
     total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
-
-    if average_mode not in ("hybrid", "sum_delta", "mean"):
-        raise ValueError(f"unknown average_mode {average_mode}")
     copies = out.filter(F.col("node_id") >= 0).select(
         "node_id", "focus", "context", "f_bias", "c_bias", "state"
     )
@@ -337,11 +378,13 @@ def optimize(
     final_cost = 0.0
     epochs = 0
     for it in range(start_epoch, maxiter):
-        handles: list = []
-        new_params, total_cost = train_epoch(
+        # fused single-job epoch: the cost is collected by an observe()
+        # node DURING the checkpoint materialization below — no shard-
+        # output cache, no separate aggregation pass
+        new_params, obs = train_epoch(
             cooc, params, dim=dim, method=method, cost=cost, max_x=max_x,
             iteration=it, seed=seed, n_shards=n_shards, batch=batch,
-            average_mode=average_mode, cache_handles=handles,
+            average_mode=average_mode, eager_cost=False,
         )
         # truncate lineage each epoch; optionally durable checkpoint
         if checkpoint_dir is not None:
@@ -351,11 +394,9 @@ def optimize(
             new_params = spark.read.parquet(path).repartition(pp, "node_id")
         else:
             new_params = new_params.localCheckpoint(eager=True)
+        total_cost = float(obs.get["cost"] or 0.0)
         params.unpersist()
         params = new_params.persist()
-        # new_params is durable now — drop the epoch's cached shard output
-        for h in handles:
-            h.unpersist()
 
         epoch_cost = total_cost / max(co_count, 1)
         history.append(epoch_cost)

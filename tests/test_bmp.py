@@ -70,8 +70,8 @@ def test_synthetic_media_images_are_real_bmps(spark):
             assert img.shape == (r["meta"]["height"], r["meta"]["width"])
 
 
-def test_hdt_contract_is_explicit(spark):
-    from graph_embeddings_spark.sources.reader import read_rdf
+def test_hdt_dispatches_to_codec():
+    # .hdt now routes to the from-scratch codec (tests/test_hdt.py)
+    from graph_embeddings_spark.sources.reader import detect_format
 
-    with pytest.raises(NotImplementedError, match="hdt2rdf"):
-        read_rdf(spark, "/data/graph.hdt")
+    assert detect_format("/data/graph.hdt") == "hdt"
