@@ -68,6 +68,38 @@ def init_params_df(nodes: DataFrame, dim: int, seed: int, method: str) -> DataFr
     return nodes.select("node_id").mapInPandas(gen, PARAMS_SCHEMA)
 
 
+def _flat_f32(tbl, name: str, n: int) -> np.ndarray:
+    """list<float32> column -> (n, width) float32 matrix, zero-copy.
+
+    Every row of the params/copies relations carries uniform-length vectors
+    by construction (init_params_df / the kernel), so the Arrow list column
+    is one contiguous float32 buffer — flatten() + reshape reads it without
+    materializing per-row numpy objects. The Arrow->pandas path this
+    replaces created one small ndarray PER CELL (~110k objects per combine
+    task), which made combine tasks 3.6x slower when 8 ran side-by-side
+    (allocator churn) — measured via tools/glove_stage_probe.py."""
+    import pyarrow  # noqa: F401  (imported lazily on executors)
+
+    col = tbl.column(name).combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=True)
+    return vals.reshape(n, vals.size // n) if n else vals.reshape(0, 0)
+
+
+def _f32_list(mat: np.ndarray, tail_empty: int = 0):
+    """(n, d) float32 matrix -> Arrow list<float32> array (optionally with
+    `tail_empty` trailing zero-length rows, used for the kernel's cost row)."""
+    import pyarrow as pa
+
+    n, d = mat.shape
+    offs = np.arange(n + 1, dtype=np.int32) * d
+    if tail_empty:
+        offs = np.concatenate([offs, np.full(tail_empty, offs[-1], dtype=np.int32)])
+    return pa.ListArray.from_arrays(
+        pa.array(offs, type=pa.int32()),
+        pa.array(np.ascontiguousarray(mat.reshape(-1)), type=pa.float32()),
+    )
+
+
 def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> DataFrame:
     """Shard copies + pre-epoch params -> new params, ONE Arrow stage.
 
@@ -93,9 +125,11 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
     block, old row first per group) computes the combine, the old-params
     join, AND the untouched carry-through in the same pass — for every
     mode the formula new = (sum − old) · w + (1 − n·w′) · old degrades to
-    `old` at n = 0, so untouched nodes need no separate branch."""
-    import numpy as np
+    `old` at n = 0, so untouched nodes need no separate branch.
 
+    Arrow-native (mapInArrow): the list<float32> columns flatten zero-copy
+    into contiguous matrices and the output is rebuilt as one ListArray —
+    no per-row numpy objects on either side of the combine."""
     spark = params.sparkSession
     pp = max(8, spark.sparkContext.defaultParallelism)
     unioned = (
@@ -109,12 +143,17 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
     )
 
     def gen(batches):
-        frames = list(batches)
-        if not frames:
+        import pyarrow as pa
+
+        bl = list(batches)
+        if not bl:
             return
-        pdf = pd.concat(frames, ignore_index=True)
-        ids = pdf["node_id"].to_numpy()
-        oldf = pdf["_old"].to_numpy()
+        tbl = pa.Table.from_batches(bl)
+        nrows = tbl.num_rows
+        if nrows == 0:
+            return
+        ids = tbl.column("node_id").to_numpy()
+        oldf = tbl.column("_old").to_numpy()
         # primary sort: node_id; secondary: old row FIRST in its group
         order = np.lexsort((1 - oldf, ids))
         ids_s = ids[order]
@@ -123,19 +162,22 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
         touched = n > 0
 
         def combine_arr(col):
-            mat = np.stack(pdf[col].to_numpy())[order].astype(np.float64)
-            total = np.add.reduceat(mat, starts, axis=0)
-            old = mat[starts]
+            # reorder in float32 (half the temp bytes), accumulate in
+            # float64 via reduceat's dtype — bit-identical to casting the
+            # whole matrix up front, since each element upcasts exactly
+            mat = _flat_f32(tbl, col, nrows)[order]
+            total = np.add.reduceat(mat, starts, axis=0, dtype=np.float64)
+            old = mat[starts].astype(np.float64)
             csum = total - old
             if average_mode == "mean":
                 out = old.copy()
                 out[touched] = csum[touched] / n[touched, None]
             else:  # hybrid / sum_delta: delta accumulation
                 out = csum + (1.0 - n)[:, None] * old
-            return out
+            return out.astype(np.float32)
 
         def combine_scalar(col):
-            v = pdf[col].to_numpy()[order].astype(np.float64)
+            v = tbl.column(col).to_numpy()[order].astype(np.float64)
             total = np.add.reduceat(v, starts)
             old = v[starts]
             csum = total - old
@@ -145,72 +187,85 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
             out[touched] = csum[touched] / n[touched]
             return out
 
-        yield pd.DataFrame(
+        yield pa.record_batch(
             {
-                "node_id": uniq,
-                "focus": list(combine_arr("focus").astype(np.float32)),
-                "context": list(combine_arr("context").astype(np.float32)),
-                "f_bias": combine_scalar("f_bias"),
-                "c_bias": combine_scalar("c_bias"),
-                "state": list(combine_arr("state").astype(np.float32)),
+                "node_id": pa.array(uniq, type=pa.int64()),
+                "focus": _f32_list(combine_arr("focus")),
+                "context": _f32_list(combine_arr("context")),
+                "f_bias": pa.array(combine_scalar("f_bias"), type=pa.float64()),
+                "c_bias": pa.array(combine_scalar("c_bias"), type=pa.float64()),
+                "state": _f32_list(combine_arr("state")),
             }
         )
 
-    return unioned.mapInPandas(gen, PARAMS_SCHEMA)
+    return unioned.mapInArrow(gen, PARAMS_SCHEMA)
 
 
 def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: int, batch: int):
-    def train_fn(_key, cooc_iter_df: pd.DataFrame, params_pdf: pd.DataFrame) -> pd.DataFrame:
-        cooc_pdf = cooc_iter_df
-        if len(cooc_pdf) == 0 or len(params_pdf) == 0:
-            return pd.DataFrame(
-                columns=["node_id", "focus", "context", "f_bias", "c_bias", "state", "cost"]
+    """Arrow-native cogrouped kernel (applyInArrow): the params side's
+    list<float32> columns flatten zero-copy into the (n, dim) matrices
+    train_shard mutates (one memcpy each — Arrow buffers are immutable),
+    and the output is rebuilt as ListArrays with a trailing zero-length
+    cost row. No per-row numpy objects in either direction."""
+
+    def train_fn(cooc_tbl, params_tbl):
+        import pyarrow as pa
+
+        def empty():
+            return pa.table(
+                {
+                    "node_id": pa.array([], type=pa.int64()),
+                    "focus": pa.array([], type=pa.list_(pa.float32())),
+                    "context": pa.array([], type=pa.list_(pa.float32())),
+                    "f_bias": pa.array([], type=pa.float64()),
+                    "c_bias": pa.array([], type=pa.float64()),
+                    "state": pa.array([], type=pa.list_(pa.float32())),
+                    "cost": pa.array([], type=pa.float64()),
+                }
             )
-        node_ids = params_pdf["node_id"].to_numpy()
+
+        n = params_tbl.num_rows
+        if cooc_tbl.num_rows == 0 or n == 0:
+            return empty()
+        node_ids = params_tbl.column("node_id").to_numpy()
         order = np.argsort(node_ids)  # ids unique -> total order
         sorted_ids = node_ids[order]
-        focus = np.stack(params_pdf["focus"].to_numpy()).astype(np.float32)
-        context = np.stack(params_pdf["context"].to_numpy()).astype(np.float32)
-        f_bias = params_pdf["f_bias"].to_numpy().astype(np.float32)
-        c_bias = params_pdf["c_bias"].to_numpy().astype(np.float32)
-        state = np.stack(params_pdf["state"].to_numpy()).astype(np.float32)
+        focus = _flat_f32(params_tbl, "focus", n).copy()
+        context = _flat_f32(params_tbl, "context", n).copy()
+        f_bias = params_tbl.column("f_bias").to_numpy().astype(np.float32)
+        c_bias = params_tbl.column("c_bias").to_numpy().astype(np.float32)
+        state = _flat_f32(params_tbl, "state", n).copy()
 
         # deterministic within-shard order (the shard's slice of the epoch
         # permutation): sort by the precomputed shuffle key
-        cooc_pdf = cooc_pdf.sort_values("_ord", kind="mergesort")
+        perm = np.argsort(cooc_tbl.column("_ord").to_numpy(), kind="stable")
         # vectorized global->local id mapping (every i/j is in params by
         # construction of the touched-params join)
-        iu = order[np.searchsorted(sorted_ids, cooc_pdf["i"].to_numpy())]
-        jv = order[np.searchsorted(sorted_ids, cooc_pdf["j"].to_numpy())]
-        x = cooc_pdf["x"].to_numpy(dtype=np.float64)
+        iu = order[np.searchsorted(sorted_ids, cooc_tbl.column("i").to_numpy()[perm])]
+        jv = order[np.searchsorted(sorted_ids, cooc_tbl.column("j").to_numpy()[perm])]
+        x = cooc_tbl.column("x").to_numpy()[perm].astype(np.float64)
 
         shard_cost = train_shard(
             iu, jv, x, focus, context, f_bias, c_bias, state,
             method=method, cost=cost, max_x=max_x, iteration=iteration, batch=batch,
         )
-        out = pd.DataFrame(
+        return pa.table(
             {
-                "node_id": node_ids,
-                "focus": list(focus),
-                "context": list(context),
-                "f_bias": f_bias.astype("float64"),
-                "c_bias": c_bias.astype("float64"),
-                "state": list(state),
-                "cost": np.float64(0.0),
+                "node_id": pa.array(np.append(node_ids, -1), type=pa.int64()),
+                "focus": _f32_list(focus, tail_empty=1),
+                "context": _f32_list(context, tail_empty=1),
+                "f_bias": pa.array(
+                    np.append(f_bias.astype(np.float64), 0.0), type=pa.float64()
+                ),
+                "c_bias": pa.array(
+                    np.append(c_bias.astype(np.float64), 0.0), type=pa.float64()
+                ),
+                "state": _f32_list(state, tail_empty=1),
+                "cost": pa.array(
+                    np.append(np.zeros(n), float(shard_cost)), type=pa.float64()
+                ),
             }
         )
-        cost_row = pd.DataFrame(
-            {
-                "node_id": [-1],
-                "focus": [np.zeros(0, dtype=np.float32)],
-                "context": [np.zeros(0, dtype=np.float32)],
-                "f_bias": [0.0],
-                "c_bias": [0.0],
-                "state": [np.zeros(0, dtype=np.float32)],
-                "cost": [float(shard_cost)],
-            }
-        )
-        return pd.concat([out, cost_row], ignore_index=True)
 
     return train_fn
 
@@ -290,7 +345,7 @@ def train_epoch(
     raw = (
         sharded.groupBy("shard")
         .cogroup(shard_params.groupBy("gshard"))
-        .applyInPandas(train_fn, _OUT_SCHEMA)
+        .applyInArrow(train_fn, _OUT_SCHEMA)
     )
 
     if not eager_cost:

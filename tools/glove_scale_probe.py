@@ -55,17 +55,14 @@ def main():
 
     trials = []
     for it in range(3):
-        handles = []
         t0 = time.perf_counter()
-        new_params, _ = train_epoch(
+        new_params, _obs = train_epoch(
             cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
             iteration=it, seed=42, n_shards=n_shards, batch=4096,
-            cache_handles=handles,
+            eager_cost=False,  # the fused optimize() path
         )
         new_params.write.mode("overwrite").format("noop").save()
         trials.append(round(time.perf_counter() - t0, 3))
-        for h in handles:
-            h.unpersist()
     print("PROBE" + json.dumps({
         "cores": cores, "entries": co_count, "n_shards": n_shards,
         "trials": trials, "best": min(trials[1:]),  # first pays codegen
