@@ -104,33 +104,52 @@ def inner_and_weight(method: str, x: np.ndarray, dots: np.ndarray, bf: np.ndarra
     return inner, w
 
 
-def _segment_prefix(idx: np.ndarray, g2: np.ndarray):
-    """For entries sorted by idx, return (order, sorted_idx, prefix) where
-    prefix[t] = sum of g2 over EARLIER entries in t's index segment.
+def _segments(idx: np.ndarray):
+    """Duplicate structure of one batch's index vector, computed ONCE and
+    shared by the matrix and bias updates that scatter into the same ids
+    (previously each _adagrad_apply re-sorted — 4 argsorts per batch).
 
-    This reproduces sequential AdaGrad's property that each occurrence of the
-    same parameter divides by a gradient-square sum already grown by its
-    predecessors — without it, a hub node appearing k times in one batch
-    takes k full-size steps and the pass diverges (the bias step has no lr,
-    Adagrad.java:88-89, so this matters most there)."""
+    Returns (order, si, seg_start, start_of, uniq): stable sort order, the
+    sorted ids, each segment's start offset, each element's segment-start
+    offset, and the unique ids (one per segment)."""
     order = np.argsort(idx, kind="stable")
     si = idx[order]
-    g2s = g2[order]
-    csum = np.cumsum(g2s, axis=0)
     seg_start = np.r_[0, np.flatnonzero(si[1:] != si[:-1]) + 1]
     lens = np.diff(np.r_[seg_start, len(si)])
     start_of = np.repeat(seg_start, lens)
-    prefix = (csum - g2s) - (csum[start_of] - g2s[start_of])
-    return order, si, prefix
+    return order, si, seg_start, start_of, si[seg_start]
 
 
-def _adagrad_apply(param: np.ndarray, gsq: np.ndarray, idx: np.ndarray, grad: np.ndarray, lr: float):
-    """param[idx] -= lr * grad / sqrt(gsq + within-batch prefix); gsq += grad²."""
-    g2 = grad * grad
-    order, si, prefix = _segment_prefix(idx, g2)
+def _adagrad_apply(param: np.ndarray, gsq: np.ndarray, seg, grad: np.ndarray, lr: float):
+    """param[idx] -= lr * grad / sqrt(gsq + within-batch prefix); gsq += grad².
+
+    The within-batch prefix reproduces sequential AdaGrad's property that
+    each occurrence of the same parameter divides by a gradient-square sum
+    already grown by its predecessors — without it, a hub node appearing k
+    times in one batch takes k full-size steps and the pass diverges (the
+    bias step has no lr, Adagrad.java:88-89, so this matters most there).
+
+    Scatter is reduceat-per-segment + one fancy-indexed add on the UNIQUE
+    ids — np.add.at's unbuffered element loop was 43% of kernel time
+    (profiled at 100k entries). Identical math; float addition order within
+    a segment differs only for duplicate ids in one batch (exact at
+    batch=1, the order the exactness tests pin)."""
+    order, si, seg_start, start_of, uniq = seg
+    g2 = (grad * grad)[order]
+    csum = np.cumsum(g2, axis=0)
+    prefix = (csum - g2) - (csum[start_of] - g2[start_of])
     denom = np.sqrt(gsq[si] + prefix)
-    np.add.at(param, si, -lr * grad[order] / denom)
-    np.add.at(gsq, si, g2[order])
+    param[uniq] += np.add.reduceat(-lr * grad[order] / denom, seg_start, axis=0)
+    gsq[uniq] += np.add.reduceat(g2, seg_start, axis=0)
+
+
+def half_state_size(method: str, dim: int) -> int:
+    """Width of ONE side's optimizer-state slice: [gsq(dim), gsq_bias] for
+    AdaGrad, [m(dim), v(dim), m_bias, v_bias] for Adam/AMSGrad. The focus
+    half and the context half of `state` (layouts in the module docstring)
+    each have this width; train_epoch ships only the relevant half to a
+    grid shard."""
+    return state_size(method, dim) // 2
 
 
 def train_shard(
@@ -141,20 +160,37 @@ def train_shard(
     context: np.ndarray,
     f_bias: np.ndarray,
     c_bias: np.ndarray,
-    state: np.ndarray,
+    state: np.ndarray | None,
     method: str,
     cost: str,
     max_x: float,
     iteration: int,
     batch: int = 4096,
+    state_f: np.ndarray | None = None,
+    state_c: np.ndarray | None = None,
 ) -> float:
     """Run one epoch's pass over a shard IN PLACE; returns the summed
-    0.5*w*inner^2 cost. iu/jv index into the local param arrays."""
+    0.5*w*inner^2 cost. iu/jv index into the local param arrays.
+
+    Two state layouts: `state` (combined — focus/context/bias share one
+    node axis; the exactness tests and single-axis callers use this) or
+    `state_f`+`state_c` (per-side halves of half_state_size width, with
+    independent node axes: iu indexes the focus-side arrays, jv the
+    context-side ones — the side-split grid shards use this)."""
     dim = focus.shape[1]
     lr = LEARNING_RATE
     total_cost = 0.0
 
-    if method == "adagrad":
+    if state is None:
+        if method == "adagrad":
+            gsq_f, gsq_fb = state_f[:, :dim], state_f[:, dim]
+            gsq_c, gsq_cb = state_c[:, :dim], state_c[:, dim]
+        else:
+            m_f, v_f = state_f[:, :dim], state_f[:, dim : 2 * dim]
+            m_fb, v_fb = state_f[:, 2 * dim], state_f[:, 2 * dim + 1]
+            m_c, v_c = state_c[:, :dim], state_c[:, dim : 2 * dim]
+            m_cb, v_cb = state_c[:, 2 * dim], state_c[:, 2 * dim + 1]
+    elif method == "adagrad":
         gsq_f, gsq_c = state[:, :dim], state[:, dim : 2 * dim]
         gsq_fb, gsq_cb = state[:, 2 * dim], state[:, 2 * dim + 1]
     else:
@@ -162,6 +198,7 @@ def train_shard(
         m_c, v_c = state[:, 2 * dim : 3 * dim], state[:, 3 * dim : 4 * dim]
         m_fb, v_fb = state[:, 4 * dim], state[:, 4 * dim + 1]
         m_cb, v_cb = state[:, 4 * dim + 2], state[:, 4 * dim + 3]
+    if method != "adagrad":
         correction = lr * np.sqrt(1.0 - BETA2 ** (iteration + 1)) / (1.0 - BETA1 ** (iteration + 1))
 
     for s in range(0, len(x), batch):
@@ -182,11 +219,12 @@ def train_shard(
         if method == "adagrad":
             # each occurrence divides by G grown by its in-batch predecessors
             # (sequential semantics, Adagrad.java:80-85; exact at batch=1)
-            _adagrad_apply(focus, gsq_f, u, grad_f, lr)
-            _adagrad_apply(context, gsq_c, v, grad_c, lr)
+            seg_u, seg_v = _segments(u), _segments(v)
+            _adagrad_apply(focus, gsq_f, seg_u, grad_f, lr)
+            _adagrad_apply(context, gsq_c, seg_v, grad_c, lr)
             # bias step WITHOUT lr (Adagrad.java:88-89)
-            _adagrad_apply(f_bias, gsq_fb, u, wc, 1.0)
-            _adagrad_apply(c_bias, gsq_cb, v, wc, 1.0)
+            _adagrad_apply(f_bias, gsq_fb, seg_u, wc, 1.0)
+            _adagrad_apply(c_bias, gsq_cb, seg_v, wc, 1.0)
         else:
             m1f = BETA1 * m_f[u] + (1 - BETA1) * grad_f
             m1c = BETA1 * m_c[v] + (1 - BETA1) * grad_c

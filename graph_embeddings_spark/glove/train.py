@@ -7,15 +7,17 @@ executors share no memory, so (per BASELINE.json north_star) each epoch:
   1. T1 epoch shuffle — every cooc entry is assigned a shard by
      pmod(xxhash64(i, j, seed+epoch), n_shards): a deterministic re-
      permutation per epoch, replacing Permutation.java:5-24's Fisher-Yates.
-  2. param co-partition — each shard pulls exactly the param rows it
-     touches (explode i/j -> distinct -> join params). This is the only
-     param movement: O(Σ|touched|), not O(vocab × shards).
-  3. shard kernel — cogroup(cooc_shard, param_rows).applyInPandas runs the
-     exact reference update math vectorized (kernel.train_shard), emitting
-     updated param rows + a per-shard partial cost.
-  4. parameter averaging — groupBy(node_id): elementwise avg of the shard
-     copies via JVM-side aggregate/zip_with (no Python), untouched nodes
-     carried through with a left join + coalesce.
+  2. param co-partition — each shard pulls exactly the param HALVES it
+     touches (per-side distinct -> join params): focus/f_bias/f-state to
+     the shards training the node's focus side, the context half to the
+     context-training shards. This is the only param movement:
+     O(Σ|touched sides|) half-rows, not O(vocab × shards) full rows.
+  3. shard kernel — cogroup(cooc_shard, side_param_rows).applyInArrow runs
+     the exact reference update math vectorized (kernel.train_shard),
+     emitting updated side rows + a per-shard partial cost.
+  4. parameter combine — one shuffle on node_id: numpy segment delta-sum
+     for vectors/state, per-side mean for biases, sides re-zipped into
+     full param rows; untouched rows/sides degrade to pass-through.
   5. cost reduction + tolerance check in the driver (Optimizer.java:85-107);
      params checkpointed per epoch -> any run resumes mid-training
      (north_rule).
@@ -36,13 +38,28 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .kernel import init_params, init_state, state_size, train_shard
+from .kernel import half_state_size, init_params, init_state, state_size, train_shard
 
 PARAMS_SCHEMA = (
     "node_id long, focus array<float>, context array<float>, "
     "f_bias double, c_bias double, state array<float>"
 )
-_OUT_SCHEMA = PARAMS_SCHEMA + ", cost double"
+# Side-split shard traffic: one row per (touched node, side) carrying only
+# that side's vector / bias / state half — a grid shard in a node's grid
+# ROW trains only its focus side, so shipping the context half there (and
+# back) would double the epoch's dominant shuffle for bytes nobody reads.
+_SIDE_SCHEMA = "node_id long, side int, vec array<float>, bias double, state_h array<float>"
+_OUT_SCHEMA = _SIDE_SCHEMA + ", cost double"
+
+
+def _state_half_slices(hw: int, tail: int):
+    """(focus_half, context_half) column expressions slicing the combined
+    state layout [f_block(hw), c_block(hw), f_tail(tail), c_tail(tail)]
+    (both AdaGrad and Adam/AMSGrad follow this shape — kernel.py module
+    docstring) into per-side halves of width hw+tail."""
+    f_half = F.concat(F.slice("state", 1, hw), F.slice("state", 2 * hw + 1, tail))
+    c_half = F.concat(F.slice("state", hw + 1, hw), F.slice("state", 2 * hw + tail + 1, tail))
+    return f_half, c_half
 
 
 def init_params_df(nodes: DataFrame, dim: int, seed: int, method: str) -> DataFrame:
@@ -100,7 +117,9 @@ def _f32_list(mat: np.ndarray, tail_empty: int = 0):
     )
 
 
-def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> DataFrame:
+def _combine_epoch(
+    copies: DataFrame, params: DataFrame, average_mode: str, hw: int, tail: int
+) -> DataFrame:
     """Shard copies + pre-epoch params -> new params, ONE Arrow stage.
 
     Combine semantics (measured on the synthetic corpus, 12 epochs, dim
@@ -114,6 +133,11 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
         (cost spikes 30× in epoch 2-3), while the mean of per-shard fixed
         points sits at the global fixed point. MRR parity with the
         single-shard run (0.89 vs 0.89); sum_delta got 0.22, mean 0.03.
+        Under side-split shipping the bias mean runs over the copies that
+        actually TRAINED that side (an untrained side's copy would equal
+        `old` exactly, so for the delta modes dropping it is algebraically
+        identical; for the bias mean it stops diluting the fixed-point
+        average toward the stale value — MRR gates re-verified).
       sum_delta: delta accumulation for everything (kept for study).
       mean: plain parameter averaging for everything (kept for comparison).
 
@@ -132,15 +156,25 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
     no per-row numpy objects on either side of the combine."""
     spark = params.sparkSession
     pp = max(8, spark.sparkContext.defaultParallelism)
-    unioned = (
-        copies.withColumn("_old", F.lit(0))
-        .unionByName(
-            params.select(
-                "node_id", "focus", "context", "f_bias", "c_bias", "state"
-            ).withColumn("_old", F.lit(1))
+    f_half, c_half = _state_half_slices(hw, tail)
+    old_sides = params.select(
+        "node_id",
+        F.lit(0).alias("side"),
+        F.col("focus").alias("vec"),
+        F.col("f_bias").alias("bias"),
+        f_half.alias("state_h"),
+        F.lit(1).alias("_old"),
+    ).unionByName(
+        params.select(
+            "node_id",
+            F.lit(1).alias("side"),
+            F.col("context").alias("vec"),
+            F.col("c_bias").alias("bias"),
+            c_half.alias("state_h"),
+            F.lit(1).alias("_old"),
         )
-        .repartition(pp, "node_id")
     )
+    unioned = copies.withColumn("_old", F.lit(0)).unionByName(old_sides).repartition(pp, "node_id")
 
     def gen(batches):
         import pyarrow as pa
@@ -153,12 +187,14 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
         if nrows == 0:
             return
         ids = tbl.column("node_id").to_numpy()
+        side = tbl.column("side").to_numpy()
         oldf = tbl.column("_old").to_numpy()
-        # primary sort: node_id; secondary: old row FIRST in its group
-        order = np.lexsort((1 - oldf, ids))
-        ids_s = ids[order]
-        uniq, starts, counts = np.unique(ids_s, return_index=True, return_counts=True)
-        n = (counts - 1).astype(np.float64)  # shard copies per node
+        # group key (node, side); secondary sort: old row FIRST in its group
+        key = ids * 2 + side
+        order = np.lexsort((1 - oldf, key))
+        key_s = key[order]
+        uniq, starts, counts = np.unique(key_s, return_index=True, return_counts=True)
+        n = (counts - 1).astype(np.float64)  # TRAINED shard copies per (node, side)
         touched = n > 0
 
         def combine_arr(col):
@@ -187,14 +223,21 @@ def _combine_epoch(copies: DataFrame, params: DataFrame, average_mode: str) -> D
             out[touched] = csum[touched] / n[touched]
             return out
 
+        # every node contributes BOTH old side rows, so (node,0)/(node,1)
+        # groups alternate: even positions are focus halves, odd context
+        vec = combine_arr("vec")
+        sth = combine_arr("state_h")
+        bias = combine_scalar("bias")
+        sf, sc = sth[0::2], sth[1::2]
+        state_full = np.hstack([sf[:, :hw], sc[:, :hw], sf[:, hw:], sc[:, hw:]])
         yield pa.record_batch(
             {
-                "node_id": pa.array(uniq, type=pa.int64()),
-                "focus": _f32_list(combine_arr("focus")),
-                "context": _f32_list(combine_arr("context")),
-                "f_bias": pa.array(combine_scalar("f_bias"), type=pa.float64()),
-                "c_bias": pa.array(combine_scalar("c_bias"), type=pa.float64()),
-                "state": _f32_list(combine_arr("state")),
+                "node_id": pa.array(uniq[0::2] >> 1, type=pa.int64()),
+                "focus": _f32_list(vec[0::2]),
+                "context": _f32_list(vec[1::2]),
+                "f_bias": pa.array(bias[0::2], type=pa.float64()),
+                "c_bias": pa.array(bias[1::2], type=pa.float64()),
+                "state": _f32_list(np.ascontiguousarray(state_full)),
             }
         )
 
@@ -206,7 +249,12 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
     list<float32> columns flatten zero-copy into the (n, dim) matrices
     train_shard mutates (one memcpy each — Arrow buffers are immutable),
     and the output is rebuilt as ListArrays with a trailing zero-length
-    cost row. No per-row numpy objects in either direction."""
+    cost row. No per-row numpy objects in either direction.
+
+    Params arrive side-split (_SIDE_SCHEMA): focus-side rows carry
+    (focus vector, f_bias, f state half), context-side rows the mirror.
+    iu indexes the focus-side arrays and jv the context-side ones — the
+    sides have independent node axes."""
 
     def train_fn(cooc_tbl, params_tbl):
         import pyarrow as pa
@@ -215,11 +263,10 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
             return pa.table(
                 {
                     "node_id": pa.array([], type=pa.int64()),
-                    "focus": pa.array([], type=pa.list_(pa.float32())),
-                    "context": pa.array([], type=pa.list_(pa.float32())),
-                    "f_bias": pa.array([], type=pa.float64()),
-                    "c_bias": pa.array([], type=pa.float64()),
-                    "state": pa.array([], type=pa.list_(pa.float32())),
+                    "side": pa.array([], type=pa.int32()),
+                    "vec": pa.array([], type=pa.list_(pa.float32())),
+                    "bias": pa.array([], type=pa.float64()),
+                    "state_h": pa.array([], type=pa.list_(pa.float32())),
                     "cost": pa.array([], type=pa.float64()),
                 }
             )
@@ -228,41 +275,56 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
         if cooc_tbl.num_rows == 0 or n == 0:
             return empty()
         node_ids = params_tbl.column("node_id").to_numpy()
-        order = np.argsort(node_ids)  # ids unique -> total order
-        sorted_ids = node_ids[order]
-        focus = _flat_f32(params_tbl, "focus", n).copy()
-        context = _flat_f32(params_tbl, "context", n).copy()
-        f_bias = params_tbl.column("f_bias").to_numpy().astype(np.float32)
-        c_bias = params_tbl.column("c_bias").to_numpy().astype(np.float32)
-        state = _flat_f32(params_tbl, "state", n).copy()
+        side = params_tbl.column("side").to_numpy()
+        vec = _flat_f32(params_tbl, "vec", n)
+        sth = _flat_f32(params_tbl, "state_h", n)
+        bias = params_tbl.column("bias").to_numpy()
+
+        # per-side sorted node axes (ids unique within a side)
+        f_rows = np.flatnonzero(side == 0)
+        c_rows = np.flatnonzero(side != 0)
+        f_rows = f_rows[np.argsort(node_ids[f_rows])]
+        c_rows = c_rows[np.argsort(node_ids[c_rows])]
+        f_ids, c_ids = node_ids[f_rows], node_ids[c_rows]
+        focus, state_f = vec[f_rows], sth[f_rows]  # fancy-index = writable copies
+        context, state_c = vec[c_rows], sth[c_rows]
+        f_bias = bias[f_rows].astype(np.float32)
+        c_bias = bias[c_rows].astype(np.float32)
 
         # deterministic within-shard order (the shard's slice of the epoch
         # permutation): sort by the precomputed shuffle key
         perm = np.argsort(cooc_tbl.column("_ord").to_numpy(), kind="stable")
-        # vectorized global->local id mapping (every i/j is in params by
-        # construction of the touched-params join)
-        iu = order[np.searchsorted(sorted_ids, cooc_tbl.column("i").to_numpy()[perm])]
-        jv = order[np.searchsorted(sorted_ids, cooc_tbl.column("j").to_numpy()[perm])]
+        # vectorized global->local id mapping (every i/j is in its side's
+        # params by construction of the touched-params join)
+        iu = np.searchsorted(f_ids, cooc_tbl.column("i").to_numpy()[perm])
+        jv = np.searchsorted(c_ids, cooc_tbl.column("j").to_numpy()[perm])
         x = cooc_tbl.column("x").to_numpy()[perm].astype(np.float64)
 
         shard_cost = train_shard(
-            iu, jv, x, focus, context, f_bias, c_bias, state,
+            iu, jv, x, focus, context, f_bias, c_bias, None,
             method=method, cost=cost, max_x=max_x, iteration=iteration, batch=batch,
+            state_f=state_f, state_c=state_c,
         )
+        nf, nc = len(f_rows), len(c_rows)
         return pa.table(
             {
-                "node_id": pa.array(np.append(node_ids, -1), type=pa.int64()),
-                "focus": _f32_list(focus, tail_empty=1),
-                "context": _f32_list(context, tail_empty=1),
-                "f_bias": pa.array(
-                    np.append(f_bias.astype(np.float64), 0.0), type=pa.float64()
+                "node_id": pa.array(
+                    np.concatenate([f_ids, c_ids, [-1]]), type=pa.int64()
                 ),
-                "c_bias": pa.array(
-                    np.append(c_bias.astype(np.float64), 0.0), type=pa.float64()
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(nf, np.int32), np.ones(nc, np.int32), [-1]]
+                    ).astype(np.int32),
+                    type=pa.int32(),
                 ),
-                "state": _f32_list(state, tail_empty=1),
+                "vec": _f32_list(np.vstack([focus, context]), tail_empty=1),
+                "bias": pa.array(
+                    np.concatenate([f_bias, c_bias, [0.0]]).astype(np.float64),
+                    type=pa.float64(),
+                ),
+                "state_h": _f32_list(np.vstack([state_f, state_c]), tail_empty=1),
                 "cost": pa.array(
-                    np.append(np.zeros(n), float(shard_cost)), type=pa.float64()
+                    np.append(np.zeros(nf + nc), float(shard_cost)), type=pa.float64()
                 ),
             }
         )
@@ -313,6 +375,11 @@ def train_epoch(
     # vocab (14x duplication) under flat hashing — the copy traffic, not
     # the update math, was the epoch's scaling ceiling (Arrow + shuffle +
     # persist of copies dominated; the kernel fn itself is 0.3 s/task).
+    # SIDE-SPLIT shipping halves that traffic again: a shard in a node's
+    # grid ROW trains only its focus half, so only (focus, f_bias, f-state)
+    # ships there — and only that half ships back (the context half would
+    # return unchanged: for the delta combine that contribution is exactly
+    # zero, so dropping it is algebraically identical).
     # The blocks are re-drawn per epoch (seed+iteration), preserving T1's
     # epoch re-permutation contract (Permutation.java:5-24 analog).
     grid = max(1, round(n_shards ** 0.5))
@@ -321,23 +388,41 @@ def train_epoch(
         F.pmod(F.xxhash64("i", F.lit(seed + iteration)), F.lit(grid)) * grid
         + F.pmod(F.xxhash64("j", F.lit(seed + iteration + 7919)), F.lit(grid))
     )
-    # one explicit clustering by shard: the distinct below (hash(shard)
-    # satisfies ClusteredDistribution(shard, node_id)) and the cogroup's
-    # cooc side both reuse this exchange instead of re-shuffling
+    # one explicit clustering by shard: the per-side distincts below
+    # (hash(shard) satisfies ClusteredDistribution(shard, node_id)) and the
+    # cogroup's cooc side all reuse this exchange instead of re-shuffling
     sharded = cooc.select(
         "i", "j", "x",
         shard_key.alias("shard"),
         F.xxhash64("j", "i", F.lit(seed * 31 + iteration)).alias("_ord"),
     ).repartition(n_shards, "shard")
-    touched = (
-        sharded.select("shard", F.explode(F.array("i", "j")).alias("node_id")).distinct()
-    )
+    hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
+    f_half, c_half = _state_half_slices(hw, tail)
+    # ONE exploded (shard, node, side) relation instead of a union of two
+    # per-side joins: the union would discard the shard partitioning and
+    # force an extra exchange of the joined param halves (measured +28 MB
+    # at 1M entries); the explode stays inside the sharded exchange, the
+    # distinct and the cogroup both satisfy their clustering from it.
+    touched_sides = sharded.select(
+        "shard",
+        F.explode(
+            F.array(
+                F.struct(F.col("i").alias("node_id"), F.lit(0).alias("side")),
+                F.struct(F.col("j").alias("node_id"), F.lit(1).alias("side")),
+            )
+        ).alias("t"),
+    ).select("shard", "t.node_id", "t.side").distinct()
+    is_f = F.col("side") == 0
     # fresh attribute for the params-side grouping key — both cogroup sides
     # otherwise share the `shard` attribute lineage and trip Spark's
     # ambiguous-self-join analyzer check
-    shard_params = touched.join(params, "node_id").select(
+    shard_params = touched_sides.join(params, "node_id").select(
         (F.col("shard") + F.lit(0)).alias("gshard"),
-        "node_id", "focus", "context", "f_bias", "c_bias", "state",
+        "node_id",
+        "side",
+        F.when(is_f, F.col("focus")).otherwise(F.col("context")).alias("vec"),
+        F.when(is_f, F.col("f_bias")).otherwise(F.col("c_bias")).alias("bias"),
+        F.when(is_f, f_half).otherwise(c_half).alias("state_h"),
     )
     if average_mode not in ("hybrid", "sum_delta", "mean"):
         raise ValueError(f"unknown average_mode {average_mode}")
@@ -354,22 +439,22 @@ def train_epoch(
         obs = Observation(f"epoch_cost_{iteration}")
         out = raw.observe(obs, F.sum("cost").alias("cost"))
         copies = out.filter(F.col("node_id") >= 0).select(
-            "node_id", "focus", "context", "f_bias", "c_bias", "state"
+            "node_id", "side", "vec", "bias", "state_h"
         )
-        return _combine_epoch(copies, params, average_mode), obs
+        return _combine_epoch(copies, params, average_mode, hw, tail), obs
 
     out = raw.persist()
     if cache_handles is not None:
         cache_handles.append(out)
     total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
     copies = out.filter(F.col("node_id") >= 0).select(
-        "node_id", "focus", "context", "f_bias", "c_bias", "state"
+        "node_id", "side", "vec", "bias", "state_h"
     )
-    new_params = _combine_epoch(copies, params, average_mode)
+    new_params = _combine_epoch(copies, params, average_mode, hw, tail)
     return new_params, float(total_cost)
 
 
-def shards_for(co_count: int, entries_per_shard: int = 25_000, lo: int = 4, hi: int = 4096) -> int:
+def shards_for(co_count: int, entries_per_shard: int = 62_500, lo: int = 4, hi: int = 4096) -> int:
     """Shard count sized from the WORK (cooc entries), not the cluster.
 
     A fixed function of co_count keeps the logical job identical at every
@@ -381,7 +466,14 @@ def shards_for(co_count: int, entries_per_shard: int = 25_000, lo: int = 4, hi: 
     6.59 s at local[2] vs 8.00 s at local[8]). At 10^12-doc scale co_count
     dwarfs entries_per_shard and this saturates any executor count up to
     `hi`; a shard's touched params stay ~entries_per_shard·dim·40 B —
-    executor-memory-safe."""
+    executor-memory-safe.
+
+    entries_per_shard=62.5k measured best on the 1M-entry scale probe
+    (best epoch: 16 shards 3.84 s vs 40 shards 4.31 s vs 120 shards
+    6.75 s at local[8]): under grid sharding the per-node copy
+    duplication is ~2·sqrt(n_shards), so fewer/larger shards cut the
+    copies shuffle quadratically while the kernel stays far above the
+    per-task overhead floor."""
     return max(lo, min(hi, round(co_count / entries_per_shard)))
 
 

@@ -267,19 +267,25 @@ def test_shards_for_sizing():
     anti-scaled at ~2k entries/shard), huge coocs saturate any cluster."""
     from graph_embeddings_spark.glove.train import shards_for
 
-    assert shards_for(63_000) == 4 or shards_for(63_000) == 3  # lo clamp area
-    assert shards_for(63_000) >= 2
-    assert shards_for(640_000) == 26
-    assert shards_for(25_000_000) == 1000
+    assert shards_for(63_000) == 4  # lo clamp area
+    assert shards_for(640_000) == 10
+    assert shards_for(25_000_000) == 400
     assert shards_for(10**12) == 4096  # hi clamp
     assert shards_for(0) == 4  # lo clamp
 
 
 def test_combine_epoch_matches_hand_values(spark):
     """The Arrow combine reproduces the documented formulas exactly:
-    hybrid = delta-sum arrays + mean biases, untouched rows pass through."""
+    hybrid = delta-sum arrays + per-side mean biases, untouched rows (and
+    untouched SIDES of touched rows) pass through."""
     import numpy as np
-    from graph_embeddings_spark.glove.train import PARAMS_SCHEMA, _combine_epoch
+    from graph_embeddings_spark.glove.train import (
+        PARAMS_SCHEMA,
+        _SIDE_SCHEMA,
+        _combine_epoch,
+    )
+
+    hw, tail = 2, 1  # dim-2 adagrad layout: [f0 f1 c0 c1 ftail ctail]
 
     def row(nid, base, fb):
         return (
@@ -287,21 +293,30 @@ def test_combine_epoch_matches_hand_values(spark):
             [float(base)] * 2,          # focus
             [float(base + 1)] * 2,      # context
             float(fb), float(fb + 1),   # biases
-            [float(base + 2)] * 2,      # state
+            [float(base + 2)] * 6,      # state
         )
 
+    def copy(nid, side, base, b):
+        return (nid, side, [float(base)] * 2, float(b), [float(base + 2)] * 3)
+
     params = spark.createDataFrame([row(1, 10.0, 1.0), row(2, 20.0, 2.0)], PARAMS_SCHEMA)
-    # node 1 touched by two shards: copies 11 and 13 -> delta sum = 10+1+3=14
-    copies = spark.createDataFrame([row(1, 11.0, 3.0), row(1, 13.0, 5.0)], PARAMS_SCHEMA)
-    got = {r["node_id"]: r for r in _combine_epoch(copies, params, "hybrid").collect()}
+    # node 1: focus side touched by two shards (11, 13), context side by ONE
+    copies = spark.createDataFrame(
+        [copy(1, 0, 11.0, 3.0), copy(1, 0, 13.0, 5.0), copy(1, 1, 12.0, 6.0)],
+        _SIDE_SCHEMA,
+    )
+    got = {r["node_id"]: r for r in _combine_epoch(copies, params, "hybrid", hw, tail).collect()}
     assert np.allclose(got[1]["focus"], [14.0, 14.0])          # 10 + (11-10) + (13-10)
+    assert np.allclose(got[1]["context"], [12.0, 12.0])        # 11 + (12-11)
     assert got[1]["f_bias"] == pytest.approx(4.0)              # mean(3, 5)
-    assert got[1]["c_bias"] == pytest.approx(5.0)              # mean(4, 6)
-    assert np.allclose(got[1]["state"], [16.0, 16.0])          # 12 + 1 + 3
+    assert got[1]["c_bias"] == pytest.approx(6.0)              # mean over trained copies only
+    # state halves recombined into the full layout
+    assert np.allclose(got[1]["state"], [16.0, 16.0, 14.0, 14.0, 16.0, 14.0])
     assert np.allclose(got[2]["focus"], [20.0, 20.0])          # untouched
     assert got[2]["f_bias"] == pytest.approx(2.0)
+    assert np.allclose(got[2]["state"], [22.0] * 6)
 
-    got_m = {r["node_id"]: r for r in _combine_epoch(copies, params, "mean").collect()}
+    got_m = {r["node_id"]: r for r in _combine_epoch(copies, params, "mean", hw, tail).collect()}
     assert np.allclose(got_m[1]["focus"], [12.0, 12.0])        # mean(11, 13)
-    got_s = {r["node_id"]: r for r in _combine_epoch(copies, params, "sum_delta").collect()}
+    got_s = {r["node_id"]: r for r in _combine_epoch(copies, params, "sum_delta", hw, tail).collect()}
     assert got_s[1]["f_bias"] == pytest.approx(1.0 + 2.0 + 4.0)  # delta sum
