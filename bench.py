@@ -187,9 +187,10 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     """Corpus -> text extraction -> triples (throughput), then graph -> BCA
     -> one GloVe epoch (wall time). The north-rule metrics.
 
-    Partition counts and shard counts are FIXED (64 / 32) regardless of core
-    count so the scaling comparison runs the identical logical job at every
-    parallelism level — only the executor slots differ."""
+    Partition counts are FIXED (64) and GloVe shards come from
+    shards_for(co_count) — both pure functions of the input, never of the
+    core count, so the scaling comparison runs the identical logical job
+    at every parallelism level — only the executor slots differ."""
     from pyspark.sql import functions as F
 
     from graph_embeddings_spark.corpus import alias_dict_df, build_world, web_pages_df
@@ -269,11 +270,14 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
     g_trials = []
+    from graph_embeddings_spark.glove.train import shards_for
+
+    pipeline_shards = shards_for(res.co_count)  # work-sized, like optimize()
     for it in range(2):
         t2 = time.perf_counter()
         new_params, _obs = train_epoch(
             cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
-            iteration=it, seed=42, n_shards=32, batch=4096, eager_cost=False,
+            iteration=it, seed=42, n_shards=pipeline_shards, batch=4096, eager_cost=False,
         )
         _force(new_params)
         g_trials.append(time.perf_counter() - t2)

@@ -7,11 +7,12 @@ executors share no memory, so (per BASELINE.json north_star) each epoch:
   1. T1 epoch shuffle — every cooc entry is assigned a shard by
      pmod(xxhash64(i, j, seed+epoch), n_shards): a deterministic re-
      permutation per epoch, replacing Permutation.java:5-24's Fisher-Yates.
-  2. param co-partition — each shard pulls exactly the param HALVES it
-     touches (per-side distinct -> join params): focus/f_bias/f-state to
-     the shards training the node's focus side, the context half to the
-     context-training shards. This is the only param movement:
-     O(Σ|touched sides|) half-rows, not O(vocab × shards) full rows.
+  2. param co-partition — each param HALF ships directly to its grid
+     row/column of shards (computable from the node hash alone, no
+     touched-sides join): focus/f_bias/f-state to the G shards that can
+     train the node's focus side, the context half to its G column
+     shards. This is the only param movement: O(vocab × 2G) half-rows
+     out (G = sqrt(n_shards)), only the trained subset back.
   3. shard kernel — cogroup(cooc_shard, side_param_rows).applyInArrow runs
      the exact reference update math vectorized (kernel.train_shard),
      emitting updated side rows + a per-shard partial cost.
@@ -118,7 +119,12 @@ def _f32_list(mat: np.ndarray, tail_empty: int = 0):
 
 
 def _combine_epoch(
-    copies: DataFrame, params: DataFrame, average_mode: str, hw: int, tail: int
+    copies: DataFrame,
+    params: DataFrame,
+    average_mode: str,
+    hw: int,
+    tail: int,
+    n_shards: int = 8,
 ) -> DataFrame:
     """Shard copies + pre-epoch params -> new params, ONE Arrow stage.
 
@@ -155,7 +161,11 @@ def _combine_epoch(
     into contiguous matrices and the output is rebuilt as one ListArray —
     no per-row numpy objects on either side of the combine."""
     spark = params.sparkSession
-    pp = max(8, spark.sparkContext.defaultParallelism)
+    # copies volume grows with the shard count (each shard returns its
+    # touched halves), so the combine's partitioning must too — at 8M
+    # entries / 121 shards a fixed 8 partitions meant ~144 MB per combine
+    # task and the epoch tail ran 8-wide regardless of input size
+    pp = max(8, spark.sparkContext.defaultParallelism, n_shards)
     f_half, c_half = _state_half_slices(hw, tail)
     old_sides = params.select(
         "node_id",
@@ -295,7 +305,8 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
         # permutation): sort by the precomputed shuffle key
         perm = np.argsort(cooc_tbl.column("_ord").to_numpy(), kind="stable")
         # vectorized global->local id mapping (every i/j is in its side's
-        # params by construction of the touched-params join)
+        # params by construction: each node's half ships to its whole grid
+        # row/column, a superset of the shards its entries land in)
         iu = np.searchsorted(f_ids, cooc_tbl.column("i").to_numpy()[perm])
         jv = np.searchsorted(c_ids, cooc_tbl.column("j").to_numpy()[perm])
         x = cooc_tbl.column("x").to_numpy()[perm].astype(np.float64)
@@ -305,11 +316,20 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
             method=method, cost=cost, max_x=max_x, iteration=iteration, batch=batch,
             state_f=state_f, state_c=state_c,
         )
-        nf, nc = len(f_rows), len(c_rows)
+        # direct shipping delivers each side's full grid row/column — drop
+        # the rows this shard never trained so the return traffic (and the
+        # combine's bias mean) sees only genuine copies, exactly what the
+        # join-based plan shipped
+        f_used = np.zeros(len(f_rows), dtype=bool)
+        f_used[iu] = True
+        c_used = np.zeros(len(c_rows), dtype=bool)
+        c_used[jv] = True
+        nf, nc = int(f_used.sum()), int(c_used.sum())
         return pa.table(
             {
                 "node_id": pa.array(
-                    np.concatenate([f_ids, c_ids, [-1]]), type=pa.int64()
+                    np.concatenate([f_ids[f_used], c_ids[c_used], [-1]]),
+                    type=pa.int64(),
                 ),
                 "side": pa.array(
                     np.concatenate(
@@ -317,12 +337,18 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
                     ).astype(np.int32),
                     type=pa.int32(),
                 ),
-                "vec": _f32_list(np.vstack([focus, context]), tail_empty=1),
+                "vec": _f32_list(
+                    np.vstack([focus[f_used], context[c_used]]), tail_empty=1
+                ),
                 "bias": pa.array(
-                    np.concatenate([f_bias, c_bias, [0.0]]).astype(np.float64),
+                    np.concatenate([f_bias[f_used], c_bias[c_used], [0.0]]).astype(
+                        np.float64
+                    ),
                     type=pa.float64(),
                 ),
-                "state_h": _f32_list(np.vstack([state_f, state_c]), tail_empty=1),
+                "state_h": _f32_list(
+                    np.vstack([state_f[f_used], state_c[c_used]]), tail_empty=1
+                ),
                 "cost": pa.array(
                     np.append(np.zeros(nf + nc), float(shard_cost)), type=pa.float64()
                 ),
@@ -398,31 +424,48 @@ def train_epoch(
     ).repartition(n_shards, "shard")
     hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
     f_half, c_half = _state_half_slices(hw, tail)
-    # ONE exploded (shard, node, side) relation instead of a union of two
-    # per-side joins: the union would discard the shard partitioning and
-    # force an extra exchange of the joined param halves (measured +28 MB
-    # at 1M entries); the explode stays inside the sharded exchange, the
-    # distinct and the cogroup both satisfy their clustering from it.
-    touched_sides = sharded.select(
-        "shard",
-        F.explode(
-            F.array(
-                F.struct(F.col("i").alias("node_id"), F.lit(0).alias("side")),
-                F.struct(F.col("j").alias("node_id"), F.lit(1).alias("side")),
-            )
-        ).alias("t"),
-    ).select("shard", "t.node_id", "t.side").distinct()
-    is_f = F.col("side") == 0
-    # fresh attribute for the params-side grouping key — both cogroup sides
-    # otherwise share the `shard` attribute lineage and trip Spark's
-    # ambiguous-self-join analyzer check
-    shard_params = touched_sides.join(params, "node_id").select(
-        (F.col("shard") + F.lit(0)).alias("gshard"),
+    # DIRECT param shipping: under the grid key a node's focus half can
+    # only be needed in the G shards of its grid ROW (shard = rowhash(i)·G
+    # + colhash(j)) and its context half in the G shards of its grid
+    # COLUMN — both computable from the node hash alone. Each side row
+    # therefore explodes straight to its G candidate blocks: no
+    # touched-sides distinct over the 2·|cooc| exploded endpoints and no
+    # params join (the join-based plan shuffled the touched list AND the
+    # joined heavy rows — one extra exchange of the epoch's biggest
+    # relation). The kernel drops the rows it never trained from its
+    # output, so the combine input is exactly the join-based plan's:
+    # superset in, identical copies out (parity-tested bit-exact).
+    # The state-half slice/concat runs once per (node, side) — the explode
+    # duplicates already-computed rows, Catalyst keeps the generate above
+    # the projection.
+    params_sides = params.select(
         "node_id",
-        "side",
-        F.when(is_f, F.col("focus")).otherwise(F.col("context")).alias("vec"),
-        F.when(is_f, F.col("f_bias")).otherwise(F.col("c_bias")).alias("bias"),
-        F.when(is_f, f_half).otherwise(c_half).alias("state_h"),
+        F.lit(0).alias("pside"),
+        F.col("focus").alias("vec"),
+        F.col("f_bias").alias("bias"),
+        f_half.alias("state_h"),
+    ).unionByName(
+        params.select(
+            "node_id",
+            F.lit(1).alias("pside"),
+            F.col("context").alias("vec"),
+            F.col("c_bias").alias("bias"),
+            c_half.alias("state_h"),
+        )
+    )
+    row_h = F.pmod(F.xxhash64("node_id", F.lit(seed + iteration)), F.lit(grid))
+    col_h = F.pmod(F.xxhash64("node_id", F.lit(seed + iteration + 7919)), F.lit(grid))
+    shard_params = params_sides.withColumn(
+        "_blk", F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
+    ).select(
+        F.when(F.col("pside") == 0, row_h * grid + F.col("_blk"))
+        .otherwise(F.col("_blk") * grid + col_h)
+        .alias("gshard"),
+        "node_id",
+        F.col("pside").alias("side"),
+        "vec",
+        "bias",
+        "state_h",
     )
     if average_mode not in ("hybrid", "sum_delta", "mean"):
         raise ValueError(f"unknown average_mode {average_mode}")
@@ -441,7 +484,7 @@ def train_epoch(
         copies = out.filter(F.col("node_id") >= 0).select(
             "node_id", "side", "vec", "bias", "state_h"
         )
-        return _combine_epoch(copies, params, average_mode, hw, tail), obs
+        return _combine_epoch(copies, params, average_mode, hw, tail, n_shards), obs
 
     out = raw.persist()
     if cache_handles is not None:
@@ -450,11 +493,11 @@ def train_epoch(
     copies = out.filter(F.col("node_id") >= 0).select(
         "node_id", "side", "vec", "bias", "state_h"
     )
-    new_params = _combine_epoch(copies, params, average_mode, hw, tail)
+    new_params = _combine_epoch(copies, params, average_mode, hw, tail, n_shards)
     return new_params, float(total_cost)
 
 
-def shards_for(co_count: int, entries_per_shard: int = 62_500, lo: int = 4, hi: int = 4096) -> int:
+def shards_for(co_count: int, entries_per_shard: int = 250_000, lo: int = 4, hi: int = 4096) -> int:
     """Shard count sized from the WORK (cooc entries), not the cluster.
 
     A fixed function of co_count keeps the logical job identical at every
@@ -468,12 +511,14 @@ def shards_for(co_count: int, entries_per_shard: int = 62_500, lo: int = 4, hi: 
     `hi`; a shard's touched params stay ~entries_per_shard·dim·40 B —
     executor-memory-safe.
 
-    entries_per_shard=62.5k measured best on the 1M-entry scale probe
-    (best epoch: 16 shards 3.84 s vs 40 shards 4.31 s vs 120 shards
-    6.75 s at local[8]): under grid sharding the per-node copy
-    duplication is ~2·sqrt(n_shards), so fewer/larger shards cut the
-    copies shuffle quadratically while the kernel stays far above the
-    per-task overhead floor."""
+    entries_per_shard targets FAT shards deliberately: under grid
+    sharding the per-node copy duplication is ~2·sqrt(n_shards), so
+    fewer/larger shards shrink the copies shuffle — the epoch's dominant
+    byte mover — while a 250k-entry kernel task is still only ~1-2 s of
+    numpy. Measured on the scale probe at local[8]: 1M entries ran 3.84 s
+    at 16 shards vs 4.31/6.75 s at 40/120; at 8M entries the 62.5k target
+    (121 shards, grid 11 -> 22 half-copies/node) shipped 1.15 GB of
+    copies and tripled the epoch vs the 32-shard sizing."""
     return max(lo, min(hi, round(co_count / entries_per_shard)))
 
 

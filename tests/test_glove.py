@@ -268,8 +268,8 @@ def test_shards_for_sizing():
     from graph_embeddings_spark.glove.train import shards_for
 
     assert shards_for(63_000) == 4  # lo clamp area
-    assert shards_for(640_000) == 10
-    assert shards_for(25_000_000) == 400
+    assert shards_for(640_000) == 4  # fat shards: duplication ~2*sqrt(S)
+    assert shards_for(25_000_000) == 100
     assert shards_for(10**12) == 4096  # hi clamp
     assert shards_for(0) == 4  # lo clamp
 

@@ -43,7 +43,9 @@ def main():
     from graph_embeddings_spark.glove.train import init_params_df, shards_for, train_epoch
 
     spark = get_spark("glove-scale", cores=cores, shuffle_partitions=32)
-    vocab = 25_000
+    # vocab grows with the corpus (a bigger crawl has more entities), so
+    # per-shard working sets and copy duplication stay scale-representative
+    vocab = max(25_000, n_entries // 40)
     cooc = synthetic_cooc(spark, n_entries, vocab).persist()
     co_count = cooc.count()
     nodes = cooc.select(F_col("i").alias("node_id")).union(cooc.select("j")).distinct()
@@ -63,6 +65,7 @@ def main():
         )
         new_params.write.mode("overwrite").format("noop").save()
         trials.append(round(time.perf_counter() - t0, 3))
+        print(f"TRIAL {it}: {trials[-1]}s", file=sys.stderr, flush=True)
     print("PROBE" + json.dumps({
         "cores": cores, "entries": co_count, "n_shards": n_shards,
         "trials": trials, "best": min(trials[1:]),  # first pays codegen

@@ -44,7 +44,7 @@ def main():
         shuffle_partitions=32,
         extra_conf={"spark.ui.enabled": "true"},
     )
-    vocab = 25_000
+    vocab = max(25_000, n_entries // 40)
     cooc = synthetic_cooc(spark, n_entries, vocab).persist()
     co_count = cooc.count()
     nodes = cooc.select(F.col("i").alias("node_id")).union(cooc.select("j")).distinct()

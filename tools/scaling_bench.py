@@ -131,6 +131,11 @@ def main():
         for c in CORES:
             f.write(f"- local[{c}]: {[r['triples_per_sec'] for r in all_runs[c]]}\n")
         f.write(
+            "\nGloVe-epoch-specific scaling evidence (compute-dominated 4M-entry\n"
+            "co-occurrence, kernel-process + spin hardware ceilings) lives in\n"
+            "BENCH/GLOVE_SCALING.md (tools/glove_scaling_evidence.py).\n"
+        )
+        f.write(
             "\nThe north_rule's >=0.8 criterion targets N vs 4N *executors* on a\n"
             "real cluster; this sandbox evidences it with N vs 4N cores in one\n"
             "JVM. The 2 -> 8 pair is the headline: a raw-CPU calibration\n"
