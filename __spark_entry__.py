@@ -610,14 +610,29 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_multimodal_image_features(spark, sf_dir):
-    """Multimodal plumbing visible to the harness: deterministic synthetic
-    media table -> Arrow-batched histogram features (codec is the documented
-    deterministic stub; the Spark plan — schemas, batching, partition
-    behavior — is the real thing being exercised)."""
+    """Multimodal image path visible to the harness: deterministic synthetic
+    media table (REAL encoded BMP payloads) -> from-spec decode ->
+    Arrow-batched histogram features."""
     from graph_embeddings_spark.datapipe.multimodal import image_features, synthetic_media_df
 
     media = synthetic_media_df(spark, 120, seed=7)
     return image_features(media).select("media_id", F.size("feat").alias("n_bins"))
+
+
+def q_multimodal_audio_features(spark, sf_dir):
+    """Multimodal audio path: REAL encoded PCM WAV payloads -> from-spec
+    RIFF decode -> Arrow-batched spectral features (rms, zcr, 8 FFT bands).
+    Returns the dominant band per clip — integer-stable across hosts."""
+    from graph_embeddings_spark.datapipe.multimodal import audio_features, synthetic_media_df
+
+    media = synthetic_media_df(spark, 120, seed=7)
+    feats = audio_features(media, n_bands=8)
+    bands = F.slice("feat", 3, 8)
+    return feats.select(
+        "media_id",
+        F.size("feat").alias("n_feat"),
+        (F.array_position(bands, F.array_max(bands)) - 1).alias("dominant_band"),
+    )
 
 
 def q_centroid_by_label(spark, sf_dir):
@@ -849,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
         "centroid_by_label": q_centroid_by_label,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,

@@ -470,9 +470,16 @@ def train_epoch(
     if average_mode not in ("hybrid", "sum_delta", "mean"):
         raise ValueError(f"unknown average_mode {average_mode}")
     train_fn = _make_train_fn(dim, method, cost, max_x, iteration, batch)
+    # explicit repartition on the params side as well: a bare groupBy leaves
+    # that exchange AQE-owned, and AQE's byte-targeted coalescing (64 MB
+    # advisory) merges several ~14 MB cogroup partitions into one task —
+    # measured 3 shards/task at 4M entries, i.e. a 5.3 s critical-path task
+    # where balanced 16-way tasks run 1.7 s. Kernel tasks are CPU-bound
+    # Python, so bytes are exactly the wrong coalescing signal here (same
+    # trap as corpus.latest_pages).
     raw = (
         sharded.groupBy("shard")
-        .cogroup(shard_params.groupBy("gshard"))
+        .cogroup(shard_params.repartition(n_shards, "gshard").groupBy("gshard"))
         .applyInArrow(train_fn, _OUT_SCHEMA)
     )
 

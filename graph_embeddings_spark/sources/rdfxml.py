@@ -11,9 +11,14 @@ Supported subset (the constructs real exports use):
   * property elements with rdf:resource (URI object), rdf:nodeID (blank),
     text content (literal — rdf:datatype and xml:lang stripped per F4),
     one nested node element, or rdf:parseType="Resource";
+  * rdf:li container items (numbered rdf:_1, rdf:_2, ... per node element);
+  * rdf:parseType="Collection" (rdf:first/rest/nil list chain) and
+    rdf:parseType="Literal" (inner XML serialized as the lexical form);
+  * reification sugar: rdf:ID on a property element emits the four
+    rdf:Statement triples alongside the base triple;
   * non-rdf property ATTRIBUTES on node elements as literal triples.
-Unsupported (raises): rdf:parseType="Collection"/"Literal", reification
-sugar, rdf:li containers — fail loudly rather than silently drop.
+Unsupported (raises): other rdf:* property elements (rdf:subject etc. as
+syntax) — fail loudly rather than silently drop.
 
 Output contract matches sources/ntriples.py / turtle.py:
     triples(subj string, pred string, obj string, obj_kind tinyint)
@@ -95,30 +100,54 @@ class _RdfXmlParser:
             if attr.startswith(_R) or attr.startswith("{" + XML_NS + "}"):
                 continue
             self.out.append((subj, _split_tag(attr), val, 2))
+        li_n = 0
         for prop in el:
-            self._property_element(subj, prop, base)
+            if prop.tag == _R + "li":
+                li_n += 1
+            self._property_element(subj, prop, base, li_n)
         return subj, skind
 
-    def _property_element(self, subj: str, prop: ET.Element, base: str):
+    def _property_element(self, subj: str, prop: ET.Element, base: str, li_n: int = 0):
         pred = _split_tag(prop.tag)
-        if pred.startswith(RDF_NS) and pred not in (RDF_NS + "type", RDF_NS + "value"):
-            if pred == RDF_NS + "li" or not pred[len(RDF_NS):].lstrip("_").isdigit():
+        if prop.tag == _R + "li":
+            pred = f"{RDF_NS}_{li_n}"  # container membership property
+        elif pred.startswith(RDF_NS) and pred not in (RDF_NS + "type", RDF_NS + "value"):
+            if not pred[len(RDF_NS):].lstrip("_").isdigit():
                 raise RdfXmlError(f"unsupported rdf construct {pred}")
         ptype = prop.get(_R + "parseType")
         res = prop.get(_R + "resource")
         nid = prop.get(_R + "nodeID")
         children = list(prop)
         if ptype == "Resource":
-            anon = self._fresh()
-            self.out.append((subj, pred, anon, 1))
+            obj, okind = self._fresh(), 1
+            self.out.append((subj, pred, obj, okind))
             for sub in children:
-                self._property_element(anon, sub, base)
+                self._property_element(obj, sub, base)
+        elif ptype == "Collection":
+            items = [self._node_element(child, base) for child in children]
+            cells = [self._fresh() for _ in items]
+            obj, okind = (cells[0], 1) if cells else (RDF_NS + "nil", 0)
+            self.out.append((subj, pred, obj, okind))
+            for i, ((it, ikind), cell) in enumerate(zip(items, cells)):
+                self.out.append((cell, RDF_NS + "first", it, ikind))
+                rest = (cells[i + 1], 1) if i + 1 < len(cells) else (RDF_NS + "nil", 0)
+                self.out.append((cell, RDF_NS + "rest", rest[0], rest[1]))
+        elif ptype == "Literal":
+            # inner XML serialized as the lexical form (stdlib serialization
+            # stands in for exclusive canonical XML — deterministic here)
+            lex = (prop.text or "") + "".join(
+                ET.tostring(child, encoding="unicode") for child in children
+            )
+            obj, okind = lex, 2
+            self.out.append((subj, pred, obj, okind))
         elif ptype is not None:
             raise RdfXmlError(f"unsupported parseType {ptype}")
         elif res is not None:
-            self.out.append((subj, pred, self._resolve(res, base), 0))
+            obj, okind = self._resolve(res, base), 0
+            self.out.append((subj, pred, obj, okind))
         elif nid is not None:
-            self.out.append((subj, pred, "_:" + nid, 1))
+            obj, okind = "_:" + nid, 1
+            self.out.append((subj, pred, obj, okind))
         elif children:
             if len(children) != 1:
                 raise RdfXmlError("property element with multiple child nodes")
@@ -126,7 +155,16 @@ class _RdfXmlParser:
             self.out.append((subj, pred, obj, okind))
         else:
             # literal: lexical form only (F4 — datatype/lang dropped)
-            self.out.append((subj, pred, prop.text or "", 2))
+            obj, okind = prop.text or "", 2
+            self.out.append((subj, pred, obj, okind))
+        rid = prop.get(_R + "ID")
+        if rid is not None:
+            # reification sugar: the statement gets a URI and four triples
+            st = base + "#" + rid
+            self.out.append((st, RDF_NS + "type", RDF_NS + "Statement", 0))
+            self.out.append((st, RDF_NS + "subject", subj, 1 if subj.startswith("_:") else 0))
+            self.out.append((st, RDF_NS + "predicate", pred, 0))
+            self.out.append((st, RDF_NS + "object", obj, okind))
 
 
 def parse_rdfxml_text(text: str, bnode_prefix: str = "g") -> list[tuple[str, str, str, int]]:

@@ -212,6 +212,53 @@ def test_rdfxml_basic():
     assert (anon[0], EX + "city", "Utrecht", 2) in got
 
 
+def test_rdfxml_striped_constructs():
+    """rdf:li containers, parseType=Collection/Literal, reification sugar."""
+    from graph_embeddings_spark.sources.rdfxml import RDF_NS, parse_rdfxml_text
+
+    EX = "http://example.org/"
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/" xml:base="http://example.org/doc">
+  <rdf:Seq rdf:about="http://example.org/seq">
+    <rdf:li>one</rdf:li>
+    <rdf:li rdf:resource="http://example.org/two"/>
+  </rdf:Seq>
+  <rdf:Description rdf:about="http://example.org/x">
+    <ex:list rdf:parseType="Collection">
+      <rdf:Description rdf:about="http://example.org/a"/>
+      <rdf:Description rdf:about="http://example.org/b"/>
+    </ex:list>
+    <ex:empty rdf:parseType="Collection"/>
+    <ex:xml rdf:parseType="Literal">t<ex:b>bold</ex:b></ex:xml>
+    <ex:said rdf:ID="st1">hello</ex:said>
+  </rdf:Description>
+</rdf:RDF>"""
+    got = parse_rdfxml_text(doc, "t")
+    gset = {(s, p, o, k) for s, p, o, k in got}
+    seq = EX + "seq"
+    assert (seq, RDF_NS + "type", RDF_NS + "Seq", 0) in gset
+    assert (seq, RDF_NS + "_1", "one", 2) in gset
+    assert (seq, RDF_NS + "_2", EX + "two", 0) in gset
+    # collection: x ex:list c1; c1 first a, rest c2; c2 first b, rest nil
+    c1 = [o for s, p, o, k in got if p == EX + "list"][0]
+    firsts = {s: (o, k) for s, p, o, k in got if p == RDF_NS + "first"}
+    rests = {s: o for s, p, o, k in got if p == RDF_NS + "rest"}
+    assert firsts[c1] == (EX + "a", 0)
+    c2 = rests[c1]
+    assert firsts[c2] == (EX + "b", 0) and rests[c2] == RDF_NS + "nil"
+    assert (EX + "x", EX + "empty", RDF_NS + "nil", 0) in gset
+    # stdlib serialization reassigns prefixes (ns0) — deterministic, documented
+    assert (EX + "x", EX + "xml", 't<ns0:b xmlns:ns0="http://example.org/">bold</ns0:b>', 2) in gset
+    # reification: base triple + four statement triples
+    st = "http://example.org/doc#st1"
+    assert (EX + "x", EX + "said", "hello", 2) in gset
+    assert (st, RDF_NS + "type", RDF_NS + "Statement", 0) in gset
+    assert (st, RDF_NS + "subject", EX + "x", 0) in gset
+    assert (st, RDF_NS + "predicate", EX + "said", 0) in gset
+    assert (st, RDF_NS + "object", "hello", 2) in gset
+
+
 def test_rdfxml_unsupported_raises():
     from graph_embeddings_spark.sources.rdfxml import RdfXmlError, parse_rdfxml_text
 
@@ -219,11 +266,17 @@ def test_rdfxml_unsupported_raises():
 <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
          xmlns:ex="http://example.org/">
   <rdf:Description rdf:about="http://example.org/x">
-    <ex:list rdf:parseType="Collection"/>
+    <rdf:subject rdf:resource="http://example.org/y"/>
   </rdf:Description>
 </rdf:RDF>"""
     with pytest.raises(RdfXmlError):
         parse_rdfxml_text(doc)
+    bogus = doc.replace(
+        '<rdf:subject rdf:resource="http://example.org/y"/>',
+        '<ex:p rdf:parseType="Bogus">x</ex:p>',
+    )
+    with pytest.raises(RdfXmlError):
+        parse_rdfxml_text(bogus)
 
 
 def test_read_rdf_dispatch(spark, tmp_path):
