@@ -97,7 +97,8 @@ def main():
         big = [r for r in rows if r["dur_s"] >= 0.3]
         small = [r for r in rows if r["dur_s"] < 0.3]
         print(f"STAGE {sid} tasks={len(rows)} (big={len(big)}, small={len(small)}, "
-              f"small_dur_sum={round(sum(r['dur_s'] for r in small), 1)}s)")
+              f"small_dur_sum={round(sum(r['dur_s'] for r in small), 1)}s) "
+              f"name={s.get('name', '')[:90]!r}")
         for r in big[:24]:
             print("  TASK " + json.dumps(r))
     print("WALL " + json.dumps({"cores": cores, "wall_s": round(wall, 2)}))
