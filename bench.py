@@ -153,14 +153,21 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
     2-vs-8-core children measure executor scaling, not plan drift."""
     from pyspark.sql import functions as F
 
-    from graph_embeddings_spark.glove.train import init_params_df, shards_for, train_epoch
+    from graph_embeddings_spark.glove.train import (
+        init_params_df, preshard_cooc, shards_for, train_epoch,
+    )
 
-    cooc = synthetic_cooc(spark, n_entries).persist()
-    co_count = cooc.count()
-    nodes = cooc.select(F.col("i").alias("node_id")).union(cooc.select("j")).distinct()
+    raw = synthetic_cooc(spark, n_entries).persist()
+    co_count = raw.count()
+    nodes = raw.select(F.col("i").alias("node_id")).union(raw.select("j")).distinct()
     n_shards = shards_for(co_count)
+    # fixed-shard relation persisted once — the optimize() path; the
+    # one-time shuffle happens here, outside the per-epoch timings
+    cooc = preshard_cooc(raw, seed=42, n_shards=n_shards).persist()
+    cooc.count()
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
+    raw.unpersist()
     trials = []
     for it in range(3):
         t0 = time.perf_counter()
@@ -266,13 +273,14 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     bca_loop_sec = time.perf_counter() - t1b
     res_loop.cooc.unpersist()
 
-    cooc = res.cooc
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
     g_trials = []
-    from graph_embeddings_spark.glove.train import shards_for
+    from graph_embeddings_spark.glove.train import preshard_cooc, shards_for
 
     pipeline_shards = shards_for(res.co_count)  # work-sized, like optimize()
+    cooc = preshard_cooc(res.cooc, seed=42, n_shards=pipeline_shards).persist()
+    cooc.count()  # one-time fixed-shard shuffle, outside the epoch timings
     for it in range(2):
         t2 = time.perf_counter()
         new_params, _obs = train_epoch(
@@ -300,7 +308,10 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     }
 
 
-GLOVE_SCALE_ENTRIES = int(os.environ.get("SPARK_GRAFT_GLOVE_ENTRIES", "640000"))
+# 4M entries -> 16 work-sized shards: enough kernel tasks to occupy 8
+# cores for 2 full waves (640k gave 4 shards — the 2-vs-8 comparison then
+# measured a 4-task ceiling, not executor scaling)
+GLOVE_SCALE_ENTRIES = int(os.environ.get("SPARK_GRAFT_GLOVE_ENTRIES", "4000000"))
 
 
 def _run_child(section: str, cores: int, pages: int) -> dict:

@@ -76,7 +76,8 @@ def _decode_audio(payload: bytes, sample_rate: int) -> tuple[np.ndarray, int]:
     payload = bytes(payload or b"")
     if is_wav(payload):
         samples, rate = decode_wav(payload)
-        # integer mono mix: mean across channels, round-half-away from zero
+        # integer mono mix: mean across channels (truncated toward zero;
+        # exact for the mono corpus where the mean is the sample itself)
         return samples.mean(axis=1).astype(np.int16), rate
     buf = np.frombuffer(payload, dtype=np.uint8).astype(np.int16)
     return ((buf - 128) << 8), max(sample_rate, 1)

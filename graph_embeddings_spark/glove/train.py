@@ -33,6 +33,7 @@ AQE-skew-handled.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -407,8 +408,19 @@ def train_epoch(
     # ships there — and only that half ships back (the context half would
     # return unchanged: for the delta combine that contribution is exactly
     # zero, so dropping it is algebraically identical).
-    # The blocks are re-drawn per epoch (seed+iteration), preserving T1's
-    # epoch re-permutation contract (Permutation.java:5-24 analog).
+    # The reference's T1 epoch shuffle permutes ENTRY ORDER on one machine
+    # (Permutation.java:21-23) — thread/shard assignment has no analog
+    # there. Two faithful shardings are therefore supported:
+    #   * ad-hoc cooc (no `shard` column): blocks re-drawn per epoch
+    #     (seed+iteration) AND order re-drawn via _ord — one cooc shuffle
+    #     per epoch;
+    #   * presharded cooc (`preshard_cooc`, persisted by the caller):
+    #     block membership fixed for the run, only the within-shard ORDER
+    #     re-draws per epoch (exactly the reference's contract). The
+    #     per-epoch plan then just projects a fresh _ord over the cache —
+    #     the epoch's biggest input relation never re-shuffles.
+    presharded = "shard" in cooc.columns
+    shard_seed = seed if presharded else seed + iteration
     grid = max(1, round(n_shards ** 0.5))
     n_shards = grid * grid
     # grid-shard ids are remapped through driver-mined collision-free
@@ -426,18 +438,23 @@ def train_epoch(
     def _labeled(idx_col):
         return F.element_at(_lab_arr, idx_col.cast("int") + 1)
 
-    shard_key = _labeled(
-        F.pmod(F.xxhash64("i", F.lit(seed + iteration)), F.lit(grid)) * grid
-        + F.pmod(F.xxhash64("j", F.lit(seed + iteration + 7919)), F.lit(grid))
-    )
-    # one explicit clustering by shard: the per-side distincts below
-    # (hash(shard) satisfies ClusteredDistribution(shard, node_id)) and the
-    # cogroup's cooc side all reuse this exchange instead of re-shuffling
-    sharded = cooc.select(
-        "i", "j", "x",
-        shard_key.alias("shard"),
-        F.xxhash64("j", "i", F.lit(seed * 31 + iteration)).alias("_ord"),
-    ).repartition(n_shards, "shard")
+    _ord = F.xxhash64("j", "i", F.lit(seed * 31 + iteration)).alias("_ord")
+    if presharded:
+        # narrow projection over the persisted sharded relation: partition
+        # layout (HashPartitioning(shard, n_shards)) is preserved, so the
+        # cogroup below reads the cache with NO exchange on this side
+        sharded = cooc.select("i", "j", "x", "shard", _ord)
+    else:
+        shard_key = _labeled(
+            F.pmod(F.xxhash64("i", F.lit(shard_seed)), F.lit(grid)) * grid
+            + F.pmod(F.xxhash64("j", F.lit(shard_seed + 7919)), F.lit(grid))
+        )
+        # one explicit clustering by shard: the per-side distincts below
+        # (hash(shard) satisfies ClusteredDistribution(shard, node_id)) and
+        # the cogroup's cooc side all reuse this exchange
+        sharded = cooc.select(
+            "i", "j", "x", shard_key.alias("shard"), _ord
+        ).repartition(n_shards, "shard")
     hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
     f_half, c_half = _state_half_slices(hw, tail)
     # DIRECT param shipping: under the grid key a node's focus half can
@@ -469,8 +486,10 @@ def train_epoch(
             c_half.alias("state_h"),
         )
     )
-    row_h = F.pmod(F.xxhash64("node_id", F.lit(seed + iteration)), F.lit(grid))
-    col_h = F.pmod(F.xxhash64("node_id", F.lit(seed + iteration + 7919)), F.lit(grid))
+    # MUST mirror the cooc-side block draw: shard_seed, not seed+iteration
+    # (under presharding the blocks are the run-fixed seed draw)
+    row_h = F.pmod(F.xxhash64("node_id", F.lit(shard_seed)), F.lit(grid))
+    col_h = F.pmod(F.xxhash64("node_id", F.lit(shard_seed + 7919)), F.lit(grid))
     shard_params = params_sides.withColumn(
         "_blk", F.explode(F.sequence(F.lit(0), F.lit(grid - 1)))
     ).select(
@@ -519,6 +538,46 @@ def train_epoch(
     )
     new_params = _combine_epoch(copies, params, average_mode, hw, tail, n_shards)
     return new_params, float(total_cost)
+
+
+@contextmanager
+def static_epoch_plan(spark):
+    """Scope an epoch materialization with AQE disabled. Every exchange in
+    the epoch is REPARTITION_BY_NUM (shard bijection / node_id combine) —
+    AQE can neither coalesce nor re-plan them, so its per-query-stage
+    coordination barriers are pure latency (~0.4 s/epoch measured at 16
+    shards, local[8]). Restores the previous setting on exit."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def preshard_cooc(cooc: DataFrame, *, seed: int, n_shards: int) -> DataFrame:
+    """Fixed-shard cooc relation for a whole training run: grid-label once
+    (same draw train_epoch would make at iteration 0), repartition by the
+    collision-free labels. Caller persists; every epoch then reads the
+    cache with no cooc-side exchange — faithful to the reference, whose
+    epoch shuffle re-permutes entry ORDER only (Permutation.java:21-23);
+    the order still re-draws per epoch via `_ord` inside train_epoch."""
+    grid = max(1, round(n_shards ** 0.5))
+    n_shards = grid * grid
+    labels = collision_free_labels(n_shards)
+    lab_arr = F.array(*[F.lit(int(v)).cast("long") for v in labels])
+    shard_key = F.element_at(
+        lab_arr,
+        (
+            F.pmod(F.xxhash64("i", F.lit(seed)), F.lit(grid)) * grid
+            + F.pmod(F.xxhash64("j", F.lit(seed + 7919)), F.lit(grid))
+        ).cast("int")
+        + 1,
+    )
+    return cooc.select("i", "j", "x", shard_key.alias("shard")).repartition(
+        n_shards, "shard"
+    )
 
 
 def shards_for(co_count: int, entries_per_shard: int = 250_000, lo: int = 4, hi: int = 4096) -> int:
@@ -589,6 +648,14 @@ def optimize(
     params = params.repartition(pp, "node_id").persist()
     params.count()  # materialize init once
 
+    # shard the cooc ONCE for the run (fixed block membership; per-epoch
+    # order re-draw happens inside train_epoch) — removes the epoch's
+    # biggest input shuffle from every iteration
+    presharded_here = "shard" not in cooc.columns
+    if presharded_here:
+        cooc = preshard_cooc(cooc, seed=seed, n_shards=n_shards).persist()
+        cooc.count()
+
     history: list[float] = []
     prev_cost = 0.0
     final_cost = 0.0
@@ -622,6 +689,8 @@ def optimize(
         if iter_diff <= tolerance:
             final_cost = epoch_cost
             break
+    if presharded_here:
+        cooc.unpersist()
     return TrainResult(params=params, cost_history=history, final_cost=final_cost, epochs_run=epochs)
 
 

@@ -191,6 +191,29 @@ def test_optimize_cost_decreases(spark):
     assert len(got) == 4 and len(got[0]["vec"]) == 8
 
 
+def test_presharded_epoch_matches_adhoc_at_iteration0(spark):
+    """preshard_cooc uses the same iteration-0 block draw as the ad-hoc
+    path, so epoch 0 must be BIT-exact either way; later epochs keep the
+    fixed membership (the reference's shuffle re-permutes order only)."""
+    from graph_embeddings_spark.glove.train import preshard_cooc
+
+    cooc, nodes = _tiny_cooc(spark)
+    params = init_params_df(nodes, 4, 42, "adagrad")
+    kw = dict(dim=4, method="adagrad", cost="glove", max_x=3.0,
+              iteration=0, seed=42, n_shards=4, batch=1)
+    a, cost_a = train_epoch(cooc, params, **kw)
+    pre = preshard_cooc(cooc, seed=42, n_shards=4).persist()
+    b, cost_b = train_epoch(pre, params, **kw)
+    rows_a = {r["node_id"]: (list(r["focus"]), list(r["context"]), r["f_bias"]) for r in a.collect()}
+    rows_b = {r["node_id"]: (list(r["focus"]), list(r["context"]), r["f_bias"]) for r in b.collect()}
+    assert cost_a == pytest.approx(cost_b, rel=0, abs=0)
+    assert rows_a == rows_b
+    # iteration 1 on the presharded relation still trains (order re-draws)
+    c, cost_c = train_epoch(pre, params, **{**kw, "iteration": 1})
+    assert cost_c > 0 and c.count() == 4
+    pre.unpersist()
+
+
 def test_extract_embeddings_is_average(spark):
     params = init_params_df(
         spark.createDataFrame([(0,), (1,)], "node_id long"), 4, 42, "adagrad"

@@ -40,7 +40,7 @@ def main():
     n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from graph_embeddings_spark.session import get_spark
-    from graph_embeddings_spark.glove.train import init_params_df, shards_for, train_epoch
+    from graph_embeddings_spark.glove.train import init_params_df, preshard_cooc, shards_for, train_epoch
 
     spark = get_spark("glove-scale", cores=cores, shuffle_partitions=32)
     # vocab grows with the corpus (a bigger crawl has more entities), so
@@ -52,8 +52,13 @@ def main():
 
     if n_shards is None:
         n_shards = shards_for(co_count)
+    # the optimize() path: fixed-shard relation persisted once for the run
+    raw = cooc
+    cooc = preshard_cooc(raw, seed=42, n_shards=n_shards).persist()
+    cooc.count()
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
+    raw.unpersist()
 
     trials = []
     for it in range(3):

@@ -30,6 +30,7 @@ def main():
     from graph_embeddings_spark.session import get_spark
     from graph_embeddings_spark.glove.train import (
         init_params_df,
+        preshard_cooc,
         shards_for,
         train_epoch,
     )
@@ -41,13 +42,16 @@ def main():
         extra_conf={"spark.ui.enabled": "true"},
     )
     vocab = max(25_000, n_entries // 40)
-    cooc = synthetic_cooc(spark, n_entries, vocab).persist()
-    cooc.count()
-    nodes = cooc.select(F.col("i").alias("node_id")).union(cooc.select("j")).distinct()
+    raw = synthetic_cooc(spark, n_entries, vocab).persist()
+    raw.count()
+    nodes = raw.select(F.col("i").alias("node_id")).union(raw.select("j")).distinct()
     if n_shards is None:
         n_shards = shards_for(n_entries)
+    cooc = preshard_cooc(raw, seed=42, n_shards=n_shards).persist()
+    cooc.count()
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
+    raw.unpersist()
 
     kw = dict(dim=32, method="adagrad", cost="glove", max_x=5.0, seed=42,
               n_shards=n_shards, batch=4096, eager_cost=False)
