@@ -154,7 +154,7 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
     from pyspark.sql import functions as F
 
     from graph_embeddings_spark.glove.train import (
-        init_params_df, preshard_cooc, shards_for, train_epoch,
+        init_params_df, preshard_cooc, shards_for, static_epoch_plan, train_epoch,
     )
 
     raw = synthetic_cooc(spark, n_entries).persist()
@@ -169,15 +169,16 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
     params.count()
     raw.unpersist()
     trials = []
-    for it in range(3):
-        t0 = time.perf_counter()
-        new_params, _obs = train_epoch(
-            cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
-            iteration=it, seed=42, n_shards=n_shards, batch=4096,
-            eager_cost=False,  # fused one-job epoch, the optimize() path
-        )
-        _force(new_params)
-        trials.append(round(time.perf_counter() - t0, 3))
+    with static_epoch_plan(spark):  # the optimize() loop's static plan
+        for it in range(3):
+            t0 = time.perf_counter()
+            new_params, _obs = train_epoch(
+                cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
+                iteration=it, seed=42, n_shards=n_shards, batch=4096,
+                eager_cost=False,  # fused one-job epoch, the optimize() path
+            )
+            _force(new_params)
+            trials.append(round(time.perf_counter() - t0, 3))
     return {
         "entries": co_count,
         "n_shards": n_shards,
@@ -276,19 +277,22 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
     g_trials = []
-    from graph_embeddings_spark.glove.train import preshard_cooc, shards_for
+    from graph_embeddings_spark.glove.train import (
+        preshard_cooc, shards_for, static_epoch_plan,
+    )
 
     pipeline_shards = shards_for(res.co_count)  # work-sized, like optimize()
     cooc = preshard_cooc(res.cooc, seed=42, n_shards=pipeline_shards).persist()
     cooc.count()  # one-time fixed-shard shuffle, outside the epoch timings
-    for it in range(2):
-        t2 = time.perf_counter()
-        new_params, _obs = train_epoch(
-            cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
-            iteration=it, seed=42, n_shards=pipeline_shards, batch=4096, eager_cost=False,
-        )
-        _force(new_params)
-        g_trials.append(time.perf_counter() - t2)
+    with static_epoch_plan(spark):  # the optimize() loop's static plan
+        for it in range(2):
+            t2 = time.perf_counter()
+            new_params, _obs = train_epoch(
+                cooc, params, dim=32, method="adagrad", cost="glove", max_x=res.max_x,
+                iteration=it, seed=42, n_shards=pipeline_shards, batch=4096, eager_cost=False,
+            )
+            _force(new_params)
+            g_trials.append(time.perf_counter() - t2)
 
     pages.unpersist()
     return {

@@ -4,9 +4,14 @@ The reference trains hogwild: numThreads jobs race on shared float arrays
 (opt/Optimizer.java:77-94, no locks in opt/grad/Adagrad.java:43-97). Spark
 executors share no memory, so (per BASELINE.json north_star) each epoch:
 
-  1. T1 epoch shuffle — every cooc entry is assigned a shard by
-     pmod(xxhash64(i, j, seed+epoch), n_shards): a deterministic re-
-     permutation per epoch, replacing Permutation.java:5-24's Fisher-Yates.
+  1. T1 epoch shuffle — the reference re-permutes entry ORDER each epoch
+     (Permutation.java:5-24, Fisher-Yates). Here the cooc is grid-sharded
+     ONCE per run (preshard_cooc: shard = (hash(i), hash(j)) grid block,
+     persisted) and each epoch re-draws only the deterministic WITHIN-
+     shard order key `_ord` = xxhash64(j, i, seed*31+epoch) — order
+     re-permutes per epoch exactly as upstream, while the epoch's biggest
+     relation never re-shuffles. (Ad-hoc unsharded input still works:
+     train_epoch then also re-draws block membership per epoch.)
   2. param co-partition — each param HALF ships directly to its grid
      row/column of shards (computable from the node hash alone, no
      touched-sides join): focus/f_bias/f-state to the G shards that can
@@ -660,35 +665,39 @@ def optimize(
     prev_cost = 0.0
     final_cost = 0.0
     epochs = 0
-    for it in range(start_epoch, maxiter):
-        # fused single-job epoch: the cost is collected by an observe()
-        # node DURING the checkpoint materialization below — no shard-
-        # output cache, no separate aggregation pass
-        new_params, obs = train_epoch(
-            cooc, params, dim=dim, method=method, cost=cost, max_x=max_x,
-            iteration=it, seed=seed, n_shards=n_shards, batch=batch,
-            average_mode=average_mode, eager_cost=False,
-        )
-        # truncate lineage each epoch; optionally durable checkpoint
-        if checkpoint_dir is not None:
-            path = f"{checkpoint_dir}/params_epoch={it:04d}"
-            new_params.write.mode("overwrite").parquet(path)
-            # parquet round-trip loses the hash partitioning — restore it
-            new_params = spark.read.parquet(path).repartition(pp, "node_id")
-        else:
-            new_params = new_params.localCheckpoint(eager=True)
-        total_cost = float(obs.get["cost"] or 0.0)
-        params.unpersist()
-        params = new_params.persist()
+    # every epoch exchange is REPARTITION_BY_NUM — AQE's per-query-stage
+    # barriers are pure latency here, so the whole loop runs under a
+    # static plan (restored on exit)
+    with static_epoch_plan(spark):
+        for it in range(start_epoch, maxiter):
+            # fused single-job epoch: the cost is collected by an observe()
+            # node DURING the checkpoint materialization below — no shard-
+            # output cache, no separate aggregation pass
+            new_params, obs = train_epoch(
+                cooc, params, dim=dim, method=method, cost=cost, max_x=max_x,
+                iteration=it, seed=seed, n_shards=n_shards, batch=batch,
+                average_mode=average_mode, eager_cost=False,
+            )
+            # truncate lineage each epoch; optionally durable checkpoint
+            if checkpoint_dir is not None:
+                path = f"{checkpoint_dir}/params_epoch={it:04d}"
+                new_params.write.mode("overwrite").parquet(path)
+                # parquet round-trip loses the hash partitioning — restore it
+                new_params = spark.read.parquet(path).repartition(pp, "node_id")
+            else:
+                new_params = new_params.localCheckpoint(eager=True)
+            total_cost = float(obs.get["cost"] or 0.0)
+            params.unpersist()
+            params = new_params.persist()
 
-        epoch_cost = total_cost / max(co_count, 1)
-        history.append(epoch_cost)
-        epochs = it + 1
-        iter_diff = abs(prev_cost - epoch_cost)
-        prev_cost = epoch_cost
-        if iter_diff <= tolerance:
-            final_cost = epoch_cost
-            break
+            epoch_cost = total_cost / max(co_count, 1)
+            history.append(epoch_cost)
+            epochs = it + 1
+            iter_diff = abs(prev_cost - epoch_cost)
+            prev_cost = epoch_cost
+            if iter_diff <= tolerance:
+                final_cost = epoch_cost
+                break
     if presharded_here:
         cooc.unpersist()
     return TrainResult(params=params, cost_history=history, final_cost=final_cost, epochs_run=epochs)

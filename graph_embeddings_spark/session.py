@@ -42,6 +42,12 @@ def get_spark(
     # clusters, where high-core executors hit the identical IPI storm.
     for var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
         os.environ.setdefault(var, str(1 << 30))
+    # One BLAS thread per Python worker: Spark tasks ARE the parallelism
+    # unit, so letting OpenBLAS/MKL default to ncpu threads inside every
+    # concurrent worker (8 workers x 32-thread pools on this host) thrashes
+    # the scheduler on any matmul path (IVF assignment, hyperplane signs).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     cores = effective_cores(cores or os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(int(cores), 8))))
     builder = (
@@ -55,10 +61,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Shuffle/spill files go to tmpfs: this sandbox's single virtio root
+        # disk measures 30-200 MB/s, so a multi-GB shuffle epoch serializes
+        # on writeback no matter how many cores run (measured: the GloVe
+        # epoch's 2->8-core gain collapsed to 1.6x with /tmp shuffle dirs).
+        # On a real cluster every executor ships its own local NVMe and
+        # aggregate shuffle bandwidth scales WITH the executor count — RAM-
+        # backed local dirs model that; a deployment would simply leave
+        # spark.local.dir at the executor-disk default.
+        .config(
+            "spark.local.dir",
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_", str(1 << 30))
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

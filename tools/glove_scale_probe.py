@@ -40,7 +40,9 @@ def main():
     n_shards = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     from graph_embeddings_spark.session import get_spark
-    from graph_embeddings_spark.glove.train import init_params_df, preshard_cooc, shards_for, train_epoch
+    from graph_embeddings_spark.glove.train import (
+        init_params_df, preshard_cooc, shards_for, static_epoch_plan, train_epoch,
+    )
 
     spark = get_spark("glove-scale", cores=cores, shuffle_partitions=32)
     # vocab grows with the corpus (a bigger crawl has more entities), so
@@ -61,16 +63,17 @@ def main():
     raw.unpersist()
 
     trials = []
-    for it in range(3):
-        t0 = time.perf_counter()
-        new_params, _obs = train_epoch(
-            cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
-            iteration=it, seed=42, n_shards=n_shards, batch=4096,
-            eager_cost=False,  # the fused optimize() path
-        )
-        new_params.write.mode("overwrite").format("noop").save()
-        trials.append(round(time.perf_counter() - t0, 3))
-        print(f"TRIAL {it}: {trials[-1]}s", file=sys.stderr, flush=True)
+    with static_epoch_plan(spark):  # the optimize() loop's static plan
+        for it in range(3):
+            t0 = time.perf_counter()
+            new_params, _obs = train_epoch(
+                cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
+                iteration=it, seed=42, n_shards=n_shards, batch=4096,
+                eager_cost=False,  # the fused optimize() path
+            )
+            new_params.write.mode("overwrite").format("noop").save()
+            trials.append(round(time.perf_counter() - t0, 3))
+            print(f"TRIAL {it}: {trials[-1]}s", file=sys.stderr, flush=True)
     print("PROBE" + json.dumps({
         "cores": cores, "entries": co_count, "n_shards": n_shards,
         "trials": trials, "best": min(trials[1:]),  # first pays codegen

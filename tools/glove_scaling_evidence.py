@@ -40,7 +40,11 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 30))
 sys.path.insert(0, %r)
 import numpy as np
 from graph_embeddings_spark.glove.kernel import train_shard, init_params, init_state
-n_entries = 62_500; vocab = 50_000; dim = 32
+# match the REAL shard the probe runs: shards_for targets 250k entries per
+# shard and each side's param slice is vocab/grid rows (8M entries, 200k
+# vocab, grid 6 -> ~33k rows/side) — the ceiling must carry the same
+# working set / DRAM traffic as the task it bounds
+n_entries = 250_000; vocab = 33_000; dim = 32
 rng = np.random.default_rng(int(sys.argv[1]))
 iu = rng.integers(0, vocab, n_entries); jv = rng.integers(0, vocab, n_entries)
 x = rng.uniform(1, 5, n_entries)

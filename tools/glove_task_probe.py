@@ -55,6 +55,8 @@ def main():
 
     kw = dict(dim=32, method="adagrad", cost="glove", max_x=5.0, seed=42,
               n_shards=n_shards, batch=4096, eager_cost=False)
+    # mirror optimize(): static plan for the epochs under measurement
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     warm, _ = train_epoch(cooc, params, iteration=0, **kw)
     warm.write.mode("overwrite").format("noop").save()
 

@@ -121,23 +121,35 @@ def main():
         "signature computation never leaves codegen.",
     )
 
-    # 6. GloVe epoch
-    from graph_embeddings_spark.glove.train import init_params_df, train_epoch
+    # 6. GloVe epoch — the optimize() path: presharded cooc cache (no
+    # cooc-side exchange in the epoch), side-split direct param shipping,
+    # fused single-job epoch (Observation cost), Arrow combine
+    from graph_embeddings_spark.glove.train import (
+        init_params_df, preshard_cooc, train_epoch,
+    )
 
-    cooc = spark.createDataFrame([(0, 1, 2.0), (1, 2, 1.0)], "i long, j long, x double")
+    cooc = preshard_cooc(
+        spark.createDataFrame([(0, 1, 2.0), (1, 2, 1.0)], "i long, j long, x double"),
+        seed=42, n_shards=4,
+    ).persist()
+    cooc.count()
     nodes = spark.range(3).select(F.col("id").alias("node_id"))
     params = init_params_df(nodes, 4, 42, "adagrad")
-    new_params, _ = train_epoch(
+    new_params, _obs = train_epoch(
         cooc, params, dim=4, method="adagrad", cost="glove", max_x=2.0,
-        iteration=0, seed=42, n_shards=2, batch=64,
+        iteration=0, seed=42, n_shards=4, batch=64, eager_cost=False,
     )
     add(
-        "GloVe epoch (shard train + hybrid combine)",
+        "GloVe epoch (presharded cogroup train + Arrow combine, one job)",
         new_params,
-        "cogroup shuffle on shard key -> pandas kernel -> groupBy(node_id) "
-        "combine with JVM-side array aggregate (collect_list + zip_with) — "
-        "params never pass through the driver.",
+        "cooc side reads the fixed-shard CACHE (no exchange); each param "
+        "HALF ships straight to its grid row/column shards "
+        "(REPARTITION_BY_NUM on the collision-free labels) -> Arrow "
+        "cogroup kernel -> one repartition(node_id) + mapInArrow numpy "
+        "segment-sum combine; cost rides an observe() node in the same "
+        "job — params never pass through the driver.",
     )
+    cooc.unpersist()
 
     # 7. MinHash-LSH dedup full query (round-2 restructure)
     from graph_embeddings_spark.datapipe.dedup import minhash_lsh_dedup

@@ -131,9 +131,10 @@ def main():
         for c in CORES:
             f.write(f"- local[{c}]: {[r['triples_per_sec'] for r in all_runs[c]]}\n")
         f.write(
-            "\nGloVe-epoch-specific scaling evidence (compute-dominated 4M-entry\n"
-            "co-occurrence, kernel-process + spin hardware ceilings) lives in\n"
-            "BENCH/GLOVE_SCALING.md (tools/glove_scaling_evidence.py).\n"
+            "\nGloVe-epoch-specific scaling evidence (compute-dominated 8M-entry\n"
+            "co-occurrence, matched-workload kernel-process + spin hardware\n"
+            "ceilings) lives in BENCH/GLOVE_SCALING.md\n"
+            "(tools/glove_scaling_evidence.py).\n"
         )
         f.write(
             "\nThe north_rule's >=0.8 criterion targets N vs 4N *executors* on a\n"
