@@ -312,10 +312,11 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     }
 
 
-# 4M entries -> 16 work-sized shards: enough kernel tasks to occupy 8
-# cores for 2 full waves (640k gave 4 shards — the 2-vs-8 comparison then
-# measured a 4-task ceiling, not executor scaling)
-GLOVE_SCALE_ENTRIES = int(os.environ.get("SPARK_GRAFT_GLOVE_ENTRIES", "4000000"))
+# 8M entries -> 16 work-sized shards (grid 4): enough kernel tasks to
+# occupy 8 cores for 2 exact waves (640k gave 4 shards — the 2-vs-8
+# comparison then measured a 4-task ceiling, not executor scaling), and
+# the same operating point as BENCH/GLOVE_SCALING.md
+GLOVE_SCALE_ENTRIES = int(os.environ.get("SPARK_GRAFT_GLOVE_ENTRIES", "8000000"))
 
 
 def _run_child(section: str, cores: int, pages: int) -> dict:

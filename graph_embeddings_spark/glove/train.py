@@ -547,18 +547,34 @@ def train_epoch(
 
 @contextmanager
 def static_epoch_plan(spark):
-    """Scope an epoch materialization with AQE disabled. Every exchange in
-    the epoch is REPARTITION_BY_NUM (shard bijection / node_id combine) —
-    AQE can neither coalesce nor re-plan them, so its per-query-stage
-    coordination barriers are pure latency (~0.4 s/epoch measured at 16
-    shards, local[8]). Restores the previous setting on exit."""
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+    """Scope epoch materializations with the training-loop conf profile.
+
+    * AQE off: every exchange in the epoch is REPARTITION_BY_NUM (shard
+      bijection / node_id combine) — AQE can neither coalesce nor re-plan
+      them, so its per-query-stage coordination barriers are pure latency
+      (~0.4 s/epoch measured at 16 shards, local[8]).
+    * Arrow batch 65536 (vs the session's row-size-conservative 10000):
+      the epoch's rows are slim, fixed-width float blocks, and the kernel
+      and combine both materialize whole groups anyway — fewer batch
+      boundaries cut the exchange/IPC overhead that dominates epoch
+      task-seconds (measured 11.7 -> 9.2 s at 8M entries, local[8]).
+
+    Restores the previous settings on exit."""
+    keys = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+    }
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, old)
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def preshard_cooc(cooc: DataFrame, *, seed: int, n_shards: int) -> DataFrame:
@@ -585,7 +601,7 @@ def preshard_cooc(cooc: DataFrame, *, seed: int, n_shards: int) -> DataFrame:
     )
 
 
-def shards_for(co_count: int, entries_per_shard: int = 250_000, lo: int = 4, hi: int = 4096) -> int:
+def shards_for(co_count: int, entries_per_shard: int = 500_000, lo: int = 4, hi: int = 4096) -> int:
     """Shard count sized from the WORK (cooc entries), not the cluster.
 
     A fixed function of co_count keeps the logical job identical at every
@@ -602,11 +618,15 @@ def shards_for(co_count: int, entries_per_shard: int = 250_000, lo: int = 4, hi:
     entries_per_shard targets FAT shards deliberately: under grid
     sharding the per-node copy duplication is ~2·sqrt(n_shards), so
     fewer/larger shards shrink the copies shuffle — the epoch's dominant
-    byte mover — while a 250k-entry kernel task is still only ~1-2 s of
+    byte mover — while a 500k-entry kernel task is still only ~2 s of
     numpy. Measured on the scale probe at local[8]: 1M entries ran 3.84 s
     at 16 shards vs 4.31/6.75 s at 40/120; at 8M entries the 62.5k target
     (121 shards, grid 11 -> 22 half-copies/node) shipped 1.15 GB of
-    copies and tripled the epoch vs the 32-shard sizing."""
+    copies and tripled the epoch vs the 32-shard sizing, and the 500k
+    target (16 shards, grid 4: 475 MB shipped vs 713 MB at grid 6, and an
+    exact 2-wave tiling on 8 cores instead of 4.5 waves of 36 tasks) ran
+    9.7 s vs 11.7 s — epoch task-seconds are dominated by exchange ser/de,
+    which scales with the copy duplication ~2·sqrt(n_shards)."""
     return max(lo, min(hi, round(co_count / entries_per_shard)))
 
 

@@ -292,7 +292,8 @@ def test_shards_for_sizing():
 
     assert shards_for(63_000) == 4  # lo clamp area
     assert shards_for(640_000) == 4  # fat shards: duplication ~2*sqrt(S)
-    assert shards_for(25_000_000) == 100
+    assert shards_for(25_000_000) == 50
+    assert shards_for(8_000_000) == 16  # measured sweet spot (GLOVE_SCALING)
     assert shards_for(10**12) == 4096  # hi clamp
     assert shards_for(0) == 4  # lo clamp
 

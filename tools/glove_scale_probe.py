@@ -44,7 +44,9 @@ def main():
         init_params_df, preshard_cooc, shards_for, static_epoch_plan, train_epoch,
     )
 
-    spark = get_spark("glove-scale", cores=cores, shuffle_partitions=32)
+    extra = json.loads(os.environ.get("GLOVE_PROBE_CONF", "{}"))
+    spark = get_spark("glove-scale", cores=cores, shuffle_partitions=32,
+                      extra_conf=extra or None)
     # vocab grows with the corpus (a bigger crawl has more entities), so
     # per-shard working sets and copy duplication stay scale-representative
     vocab = max(25_000, n_entries // 40)
@@ -62,9 +64,10 @@ def main():
     params.count()
     raw.unpersist()
 
+    n_trials = int(os.environ.get("GLOVE_PROBE_TRIALS", "3"))
     trials = []
     with static_epoch_plan(spark):  # the optimize() loop's static plan
-        for it in range(3):
+        for it in range(n_trials):
             t0 = time.perf_counter()
             new_params, _obs = train_epoch(
                 cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,

@@ -148,11 +148,13 @@ def main():
         f.write(
             f"One side-split grid-sharded AdaGrad epoch (dim 32, batch 4096,\n"
             f"{n_shards} shards from shards_for) over a deterministic skewed\n"
-            f"synthetic co-occurrence of {entries:,} entries / 50k-node vocab —\n"
-            f"~60x the r2 bench size, so kernel compute dominates the fixed\n"
-            f"per-epoch overhead that made the small size anti-scale.\n"
-            f"Fresh child JVM per measurement; within a child, best of 3\n"
-            f"back-to-back epochs (first pays codegen + worker start);\n"
+            f"synthetic co-occurrence of {entries:,} entries /\n"
+            f"{max(25_000, entries // 40):,}-node-per-side vocab — ~127x the\n"
+            f"r2 bench size, so kernel compute dominates the fixed per-epoch\n"
+            f"overhead that made the small size anti-scale.\n"
+            f"Fresh child JVM per measurement; within a child, best of\n"
+            f"{os.environ.get('GLOVE_PROBE_TRIALS', '3')} back-to-back epochs"
+            f" (first pays codegen + worker start);\n"
             f"{rounds} alternating rounds per core count, best kept.\n\n"
         )
         f.write("| config | best epoch s | throughput (entries/s) |\n|---|---|---|\n")
