@@ -157,7 +157,9 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
         init_params_df, preshard_cooc, shards_for, static_epoch_plan, train_epoch,
     )
 
-    raw = synthetic_cooc(spark, n_entries).persist()
+    # vocab grows with the corpus (same rule as tools/glove_scale_probe /
+    # BENCH/GLOVE_SCALING.md) so param-copy traffic stays scale-representative
+    raw = synthetic_cooc(spark, n_entries, vocab=max(25_000, n_entries // 40)).persist()
     co_count = raw.count()
     nodes = raw.select(F.col("i").alias("node_id")).union(raw.select("j")).distinct()
     n_shards = shards_for(co_count)
@@ -170,7 +172,7 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
     raw.unpersist()
     trials = []
     with static_epoch_plan(spark):  # the optimize() loop's static plan
-        for it in range(3):
+        for it in range(5):  # enough samples for min() to find the noise floor
             t0 = time.perf_counter()
             new_params, _obs = train_epoch(
                 cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,

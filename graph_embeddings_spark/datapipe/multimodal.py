@@ -4,17 +4,18 @@ metadata, processed through Arrow-batched mapInPandas stages.
 The Spark-side machinery (schemas, batch shapes, partition-preserving UDF
 signatures, metadata propagation) is real and tested. The IMAGE path is a
 real codec: BMP payloads (8-bit paletted / 24-bit BGR) decode through the
-from-spec parser in datapipe/bmp.py — the synthetic media corpus emits
-genuine BMP files and tests check closed-form histograms against the
-encoded pixels. The AUDIO path is likewise real: PCM WAV payloads decode
-through the from-spec RIFF parser in datapipe/wav.py and the corpus emits
-genuine WAV files (seeded sine+noise), with spectral-band features checked
-against closed-form expectations. The VIDEO path decodes real YUV4MPEG2
-(Y4M) payloads through the from-spec parser in datapipe/y4m.py — frame
-sampling returns actual luma planes. Compressed formats (JPEG/MP3/H.264)
-still fall back to deterministic fakes — the sandbox has no PIL/ffmpeg —
-and swapping those in changes ONE function per modality, nothing in the
-Spark plan.
+from-spec parser in datapipe/bmp.py, and JPEG payloads through the
+from-scratch baseline DCT/Huffman codec in datapipe/jpeg.py — the
+synthetic media corpus emits genuine files of both and tests check
+closed-form histograms against the encoded pixels. The AUDIO path is
+likewise real: PCM WAV payloads decode through the from-spec RIFF parser
+in datapipe/wav.py and the corpus emits genuine WAV files (seeded
+sine+noise), with spectral-band features checked against closed-form
+expectations. The VIDEO path decodes real YUV4MPEG2 (Y4M) payloads
+through the from-spec parser in datapipe/y4m.py — frame sampling returns
+actual luma planes. The remaining compressed-format fallbacks (MP3,
+H.264) are deterministic fakes — the sandbox has no ffmpeg — and swapping
+those in changes ONE function per modality, nothing in the Spark plan.
 
 Schemas:
     media(media_id long, kind string, payload binary,
@@ -56,14 +57,18 @@ def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Image decode dispatch: real BMP codec for BMP payloads (the synthetic
-    corpus and any 8/24-bpp uncompressed BMP input), deterministic stub for
-    anything else (no PIL in this sandbox)."""
+    """Image decode dispatch: real BMP codec for BMP payloads (8/24-bpp
+    uncompressed), real baseline-JPEG codec for JPEG payloads (from-scratch
+    DCT/Huffman decode in datapipe/jpeg.py, luma plane), deterministic stub
+    for anything else (no PIL in this sandbox)."""
     from .bmp import decode_bmp, is_bmp
+    from .jpeg import decode_jpeg_gray, is_jpeg
 
     payload = bytes(payload or b"")
     if is_bmp(payload):
         return decode_bmp(payload)
+    if is_jpeg(payload):
+        return decode_jpeg_gray(payload)
     return _decode_image_stub(payload, width, height)
 
 
@@ -85,12 +90,14 @@ def _decode_audio(payload: bytes, sample_rate: int) -> tuple[np.ndarray, int]:
 
 def synthetic_media_df(spark, n: int, seed: int = 42, partitions: int = 4) -> DataFrame:
     """Deterministic corpus of media rows (pure function of (seed, id)).
-    Image rows carry REAL encoded files (8-bit grayscale BMPs via the
-    from-spec codec in bmp.py); audio rows carry REAL PCM WAV files
-    (seeded sine+noise via the from-spec codec in wav.py); video rows carry
-    REAL Y4M streams (seeded luma frames via the from-spec codec in
-    y4m.py)."""
+    Image rows carry REAL encoded files, alternating 8-bit grayscale BMPs
+    (from-spec codec in bmp.py) and baseline JPEGs (from-scratch
+    DCT/Huffman codec in jpeg.py) so both decode paths run in every batch;
+    audio rows carry REAL PCM WAV files (seeded sine+noise via the
+    from-spec codec in wav.py); video rows carry REAL Y4M streams (seeded
+    luma frames via the from-spec codec in y4m.py)."""
     from .bmp import encode_bmp_gray8
+    from .jpeg import encode_jpeg_gray8
     from .wav import encode_wav_pcm16
     from .y4m import encode_y4m_gray
 
@@ -105,7 +112,10 @@ def synthetic_media_df(spark, n: int, seed: int = 42, partitions: int = 4) -> Da
                 n_frames = 10 + mid % 5 if kind == "video" else 1
                 if kind == "image":
                     img = rng.integers(0, 256, size=(height, width), dtype=np.uint8)
-                    payload = encode_bmp_gray8(img)
+                    if (mid // 3) % 2:  # alternate codecs across image rows
+                        payload = encode_jpeg_gray8(img, quality=95)
+                    else:
+                        payload = encode_bmp_gray8(img)
                 elif kind == "audio":
                     n_samp = 256 + (mid % 4) * 128
                     t = np.arange(n_samp)

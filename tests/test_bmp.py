@@ -60,14 +60,25 @@ def test_image_features_closed_form_histogram(spark):
     assert np.allclose(got[0]["feat"], want, atol=1e-7)
 
 
-def test_synthetic_media_images_are_real_bmps(spark):
+def test_synthetic_media_images_are_real_encoded_files(spark):
+    """Image rows alternate genuine BMP and baseline-JPEG payloads; both
+    decode through their from-scratch codecs to the declared dimensions."""
+    from graph_embeddings_spark.datapipe.jpeg import decode_jpeg_gray, is_jpeg
     from graph_embeddings_spark.datapipe.multimodal import synthetic_media_df
 
-    media = synthetic_media_df(spark, 12, partitions=2).collect()
+    media = synthetic_media_df(spark, 24, partitions=2).collect()
+    kinds = {"bmp": 0, "jpeg": 0}
     for r in media:
         if r["kind"] == "image":
-            img = decode_bmp(bytes(r["payload"]))
+            payload = bytes(r["payload"])
+            if is_jpeg(payload):
+                img = decode_jpeg_gray(payload)
+                kinds["jpeg"] += 1
+            else:
+                img = decode_bmp(payload)
+                kinds["bmp"] += 1
             assert img.shape == (r["meta"]["height"], r["meta"]["width"])
+    assert kinds["bmp"] > 0 and kinds["jpeg"] > 0  # both codecs exercised
 
 
 def test_hdt_dispatches_to_codec():
