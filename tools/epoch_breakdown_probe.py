@@ -26,6 +26,26 @@ from tools.glove_scale_probe import synthetic_cooc  # noqa: E402
 LOG_DIR = "/tmp/glove_epoch_breakdown"
 
 
+_KERNEL_TIME: dict[str, float] = {}
+
+
+def _timed_train_shard(orig_shard):
+    """Driver-side patch of train.py's `train_shard` global BEFORE
+    _make_train_fn builds its closure: cloudpickle captures by-value
+    globals at closure build time, so patching inside the worker (the
+    first version of this probe) never intercepts the call."""
+
+    def shard_timed(*a, **kw):
+        import time as _time
+
+        ks = _time.perf_counter()
+        out = orig_shard(*a, **kw)
+        _KERNEL_TIME["k"] = _time.perf_counter() - ks
+        return out
+
+    return shard_timed
+
+
 def _instrumented_make_train_fn(orig_make):
     def make(dim, method, cost, max_x, iteration, batch):
         inner = orig_make(dim, method, cost, max_x, iteration, batch)
@@ -39,28 +59,16 @@ def _instrumented_make_train_fn(orig_make):
 
             fresh = not getattr(_t, "_probe_worker_seen", False)
             _t._probe_worker_seen = True
+            _KERNEL_TIME.pop("k", None)
             t0 = _time.perf_counter()
-            k_holder = {}
-            orig_shard = _t.train_shard
-
-            def shard_timed(*a, **kw):
-                ks = _time.perf_counter()
-                out = orig_shard(*a, **kw)
-                k_holder["k"] = _time.perf_counter() - ks
-                return out
-
-            _t.train_shard = shard_timed
-            try:
-                res = inner(cooc_tbl, params_tbl)
-            finally:
-                _t.train_shard = orig_shard
+            res = inner(cooc_tbl, params_tbl)
             dt = _time.perf_counter() - t0
             rec = {
                 "pid": _os.getpid(),
                 "fresh_worker": fresh,
                 "param_rows": params_tbl.num_rows,
                 "entries": cooc_tbl.num_rows,
-                "kernel_s": round(k_holder.get("k", 0.0), 3),
+                "kernel_s": round(_KERNEL_TIME.get("k", 0.0), 3),
                 "fn_s": round(dt, 3),
                 "iteration": iteration,
             }
@@ -86,6 +94,7 @@ def main():
     import graph_embeddings_spark.glove.train as t
     from graph_embeddings_spark.session import get_spark
 
+    t.train_shard = _timed_train_shard(t.train_shard)
     t._make_train_fn = _instrumented_make_train_fn(t._make_train_fn)
 
     spark = get_spark(
