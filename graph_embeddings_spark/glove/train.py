@@ -53,10 +53,17 @@ PARAMS_SCHEMA = (
     "f_bias double, c_bias double, state array<float>"
 )
 # Side-split shard traffic: one row per (touched node, side) carrying only
-# that side's vector / bias / state half — a grid shard in a node's grid
+# that side's vector / state half / bias — a grid shard in a node's grid
 # ROW trains only its focus side, so shipping the context half there (and
 # back) would double the epoch's dominant shuffle for bytes nobody reads.
-_SIDE_SCHEMA = "node_id long, side int, vec array<float>, bias double, state_h array<float>"
+# PACKED layout: blob = [vec(dim) | state_half(hw+tail) | bias], ONE
+# array<float> column instead of (vec, bias, state_h). Epoch task-seconds
+# are dominated by exchange ser/de, which pays per FIELD and per array
+# header, not just per byte — packing cut the kernel-stage row from 5
+# value fields (two of them separate arrays) to 3 on every epoch exchange
+# (ship, copies, combine union). The kernel unpacks by column slice,
+# zero-copy on the Arrow side.
+_SIDE_SCHEMA = "node_id long, side int, blob array<float>"
 _OUT_SCHEMA = _SIDE_SCHEMA + ", cost double"
 
 
@@ -68,6 +75,16 @@ def _state_half_slices(hw: int, tail: int):
     f_half = F.concat(F.slice("state", 1, hw), F.slice("state", 2 * hw + 1, tail))
     c_half = F.concat(F.slice("state", hw + 1, hw), F.slice("state", 2 * hw + tail + 1, tail))
     return f_half, c_half
+
+
+def _packed_side_blobs(params: DataFrame, hw: int, tail: int):
+    """(focus_blob, context_blob) column expressions building each side's
+    packed [vec | state_half | bias] float32 array from the public params
+    columns — all codegen (concat/slice/cast)."""
+    f_half, c_half = _state_half_slices(hw, tail)
+    f_blob = F.concat("focus", f_half, F.array(F.col("f_bias").cast("float")))
+    c_blob = F.concat("context", c_half, F.array(F.col("c_bias").cast("float")))
+    return f_blob, c_blob
 
 
 def init_params_df(nodes: DataFrame, dim: int, seed: int, method: str) -> DataFrame:
@@ -173,21 +190,17 @@ def _combine_epoch(
     # entries / 121 shards a fixed 8 partitions meant ~144 MB per combine
     # task and the epoch tail ran 8-wide regardless of input size
     pp = max(8, spark.sparkContext.defaultParallelism, n_shards)
-    f_half, c_half = _state_half_slices(hw, tail)
+    f_blob, c_blob = _packed_side_blobs(params, hw, tail)
     old_sides = params.select(
         "node_id",
         F.lit(0).alias("side"),
-        F.col("focus").alias("vec"),
-        F.col("f_bias").alias("bias"),
-        f_half.alias("state_h"),
+        f_blob.alias("blob"),
         F.lit(1).alias("_old"),
     ).unionByName(
         params.select(
             "node_id",
             F.lit(1).alias("side"),
-            F.col("context").alias("vec"),
-            F.col("c_bias").alias("bias"),
-            c_half.alias("state_h"),
+            c_blob.alias("blob"),
             F.lit(1).alias("_old"),
         )
     )
@@ -214,37 +227,32 @@ def _combine_epoch(
         n = (counts - 1).astype(np.float64)  # TRAINED shard copies per (node, side)
         touched = n > 0
 
-        def combine_arr(col):
-            # reorder in float32 (half the temp bytes), accumulate in
-            # float64 via reduceat's dtype — bit-identical to casting the
-            # whole matrix up front, since each element upcasts exactly
-            mat = _flat_f32(tbl, col, nrows)[order]
-            total = np.add.reduceat(mat, starts, axis=0, dtype=np.float64)
-            old = mat[starts].astype(np.float64)
-            csum = total - old
-            if average_mode == "mean":
-                out = old.copy()
-                out[touched] = csum[touched] / n[touched, None]
-            else:  # hybrid / sum_delta: delta accumulation
-                out = csum + (1.0 - n)[:, None] * old
-            return out.astype(np.float32)
-
-        def combine_scalar(col):
-            v = tbl.column(col).to_numpy()[order].astype(np.float64)
-            total = np.add.reduceat(v, starts)
-            old = v[starts]
-            csum = total - old
-            if average_mode == "sum_delta":
-                return csum + (1.0 - n) * old
-            out = old.copy()  # hybrid (bias mean) and mean
-            out[touched] = csum[touched] / n[touched]
-            return out
+        # ONE segment-sum over the packed [vec | state_half | bias] matrix,
+        # then slice-wise post-ops: delta-sum for the array body, per-mode
+        # rule for the bias column. Reorder in float32 (half the temp
+        # bytes), accumulate in float64 via reduceat's dtype — bit-identical
+        # to casting up front, since each element upcasts exactly.
+        mat = _flat_f32(tbl, "blob", nrows)[order]
+        dim_ = mat.shape[1] - 1 - (hw + tail)
+        total = np.add.reduceat(mat, starts, axis=0, dtype=np.float64)
+        old = mat[starts].astype(np.float64)
+        csum = total - old
+        if average_mode == "mean":
+            out = old.copy()
+            out[touched] = csum[touched] / n[touched, None]
+        else:  # hybrid / sum_delta: delta accumulation for the array body
+            out = csum + (1.0 - n)[:, None] * old
+            if average_mode == "hybrid":  # bias column: mean of trained copies
+                b = old[:, -1].copy()
+                b[touched] = csum[touched, -1] / n[touched]
+                out[:, -1] = b
+        bias = out[:, -1]
+        body = out[:, :-1].astype(np.float32)
 
         # every node contributes BOTH old side rows, so (node,0)/(node,1)
         # groups alternate: even positions are focus halves, odd context
-        vec = combine_arr("vec")
-        sth = combine_arr("state_h")
-        bias = combine_scalar("bias")
+        vec = body[:, :dim_]
+        sth = body[:, dim_:]
         sf, sc = sth[0::2], sth[1::2]
         state_full = np.hstack([sf[:, :hw], sc[:, :hw], sf[:, hw:], sc[:, hw:]])
         yield pa.record_batch(
@@ -268,10 +276,12 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
     and the output is rebuilt as ListArrays with a trailing zero-length
     cost row. No per-row numpy objects in either direction.
 
-    Params arrive side-split (_SIDE_SCHEMA): focus-side rows carry
-    (focus vector, f_bias, f state half), context-side rows the mirror.
-    iu indexes the focus-side arrays and jv the context-side ones — the
-    sides have independent node axes."""
+    Params arrive side-split and PACKED (_SIDE_SCHEMA): each row's blob is
+    [vec(dim) | state_half | bias] for one side of one node; column slices
+    unpack it (the fancy-index below copies anyway, so slicing costs no
+    extra pass). iu indexes the focus-side arrays and jv the context-side
+    ones — the sides have independent node axes."""
+    hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
 
     def train_fn(cooc_tbl, params_tbl):
         import pyarrow as pa
@@ -281,9 +291,7 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
                 {
                     "node_id": pa.array([], type=pa.int64()),
                     "side": pa.array([], type=pa.int32()),
-                    "vec": pa.array([], type=pa.list_(pa.float32())),
-                    "bias": pa.array([], type=pa.float64()),
-                    "state_h": pa.array([], type=pa.list_(pa.float32())),
+                    "blob": pa.array([], type=pa.list_(pa.float32())),
                     "cost": pa.array([], type=pa.float64()),
                 }
             )
@@ -293,9 +301,7 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
             return empty()
         node_ids = params_tbl.column("node_id").to_numpy()
         side = params_tbl.column("side").to_numpy()
-        vec = _flat_f32(params_tbl, "vec", n)
-        sth = _flat_f32(params_tbl, "state_h", n)
-        bias = params_tbl.column("bias").to_numpy()
+        blob = _flat_f32(params_tbl, "blob", n)  # (n, dim + hw + tail + 1)
 
         # per-side sorted node axes (ids unique within a side)
         f_rows = np.flatnonzero(side == 0)
@@ -303,10 +309,11 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
         f_rows = f_rows[np.argsort(node_ids[f_rows])]
         c_rows = c_rows[np.argsort(node_ids[c_rows])]
         f_ids, c_ids = node_ids[f_rows], node_ids[c_rows]
-        focus, state_f = vec[f_rows], sth[f_rows]  # fancy-index = writable copies
-        context, state_c = vec[c_rows], sth[c_rows]
-        f_bias = bias[f_rows].astype(np.float32)
-        c_bias = bias[c_rows].astype(np.float32)
+        fb_, cb_ = blob[f_rows], blob[c_rows]  # fancy-index = writable copies
+        focus, state_f = fb_[:, :dim], fb_[:, dim:dim + hw + tail]
+        context, state_c = cb_[:, :dim], cb_[:, dim:dim + hw + tail]
+        f_bias = np.ascontiguousarray(fb_[:, -1])
+        c_bias = np.ascontiguousarray(cb_[:, -1])
 
         # deterministic within-shard order (the shard's slice of the epoch
         # permutation): sort by the precomputed shuffle key
@@ -332,6 +339,11 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
         c_used = np.zeros(len(c_rows), dtype=bool)
         c_used[jv] = True
         nf, nc = int(f_used.sum()), int(c_used.sum())
+        # vec/state updates landed in fb_/cb_ through the slice views; the
+        # bias vectors were contiguous copies — fold them back in, then the
+        # output blob is just the used rows of the already-packed matrices
+        fb_[:, -1] = f_bias
+        cb_[:, -1] = c_bias
         return pa.table(
             {
                 "node_id": pa.array(
@@ -344,17 +356,8 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
                     ).astype(np.int32),
                     type=pa.int32(),
                 ),
-                "vec": _f32_list(
-                    np.vstack([focus[f_used], context[c_used]]), tail_empty=1
-                ),
-                "bias": pa.array(
-                    np.concatenate([f_bias[f_used], c_bias[c_used], [0.0]]).astype(
-                        np.float64
-                    ),
-                    type=pa.float64(),
-                ),
-                "state_h": _f32_list(
-                    np.vstack([state_f[f_used], state_c[c_used]]), tail_empty=1
+                "blob": _f32_list(
+                    np.vstack([fb_[f_used], cb_[c_used]]), tail_empty=1
                 ),
                 "cost": pa.array(
                     np.append(np.zeros(nf + nc), float(shard_cost)), type=pa.float64()
@@ -476,19 +479,16 @@ def train_epoch(
     # The state-half slice/concat runs once per (node, side) — the explode
     # duplicates already-computed rows, Catalyst keeps the generate above
     # the projection.
+    f_blob, c_blob = _packed_side_blobs(params, hw, tail)
     params_sides = params.select(
         "node_id",
         F.lit(0).alias("pside"),
-        F.col("focus").alias("vec"),
-        F.col("f_bias").alias("bias"),
-        f_half.alias("state_h"),
+        f_blob.alias("blob"),
     ).unionByName(
         params.select(
             "node_id",
             F.lit(1).alias("pside"),
-            F.col("context").alias("vec"),
-            F.col("c_bias").alias("bias"),
-            c_half.alias("state_h"),
+            c_blob.alias("blob"),
         )
     )
     # MUST mirror the cooc-side block draw: shard_seed, not seed+iteration
@@ -504,9 +504,7 @@ def train_epoch(
         ).alias("gshard"),
         "node_id",
         F.col("pside").alias("side"),
-        "vec",
-        "bias",
-        "state_h",
+        "blob",
     )
     if average_mode not in ("hybrid", "sum_delta", "mean"):
         raise ValueError(f"unknown average_mode {average_mode}")
@@ -530,7 +528,7 @@ def train_epoch(
         obs = Observation(f"epoch_cost_{iteration}")
         out = raw.observe(obs, F.sum("cost").alias("cost"))
         copies = out.filter(F.col("node_id") >= 0).select(
-            "node_id", "side", "vec", "bias", "state_h"
+            "node_id", "side", "blob"
         )
         return _combine_epoch(copies, params, average_mode, hw, tail, n_shards), obs
 
@@ -539,7 +537,7 @@ def train_epoch(
         cache_handles.append(out)
     total_cost = out.filter(F.col("node_id") < 0).agg(F.sum("cost")).collect()[0][0] or 0.0
     copies = out.filter(F.col("node_id") >= 0).select(
-        "node_id", "side", "vec", "bias", "state_h"
+        "node_id", "side", "blob"
     )
     new_params = _combine_epoch(copies, params, average_mode, hw, tail, n_shards)
     return new_params, float(total_cost)

@@ -321,7 +321,8 @@ def test_combine_epoch_matches_hand_values(spark):
         )
 
     def copy(nid, side, base, b):
-        return (nid, side, [float(base)] * 2, float(b), [float(base + 2)] * 3)
+        # packed _SIDE_SCHEMA blob: [vec(2) | state_half(3) | bias]
+        return (nid, side, [float(base)] * 2 + [float(base + 2)] * 3 + [float(b)])
 
     params = spark.createDataFrame([row(1, 10.0, 1.0), row(2, 20.0, 2.0)], PARAMS_SCHEMA)
     # node 1: focus side touched by two shards (11, 13), context side by ONE
