@@ -635,6 +635,24 @@ def q_multimodal_audio_features(spark, sf_dir):
     )
 
 
+def q_multimodal_video_features(spark, sf_dir):
+    """Multimodal video path: REAL YUV4MPEG2 payloads (seeded luma frames,
+    from-spec codec in datapipe/y4m.py) -> frame sampling (every 3rd frame)
+    -> per-frame byte length + JVM xxhash64 of the decoded luma plane.
+    Deterministic across hosts/partitionings (seeded synthesis, exact
+    integer decode), rows-only by nature (binary decode has no SQL form)."""
+    from graph_embeddings_spark.datapipe.multimodal import sample_frames, synthetic_media_df
+
+    media = synthetic_media_df(spark, 120, seed=7)
+    frames = sample_frames(media, every=3)
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        F.length("frame").alias("n_bytes"),
+        F.xxhash64("frame").alias("luma_hash"),
+    )
+
+
 def q_centroid_by_label(spark, sf_dir):
     """Vector aggregate: per-label centroid norm (elementwise mean)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -865,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_image_features": q_multimodal_image_features,
         "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_video_features": q_multimodal_video_features,
         "centroid_by_label": q_centroid_by_label,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
