@@ -127,23 +127,9 @@ def run_minhash_attribution(spark) -> dict:
     return out
 
 
-def synthetic_cooc(spark, n_entries: int, vocab: int = 25_000, seed: int = 42):
-    """Deterministic skewed co-occurrence for the epoch-scaling evidence:
-    node ids drawn with quadratic density toward 0 (hub skew), x in [1, 5].
-    Pure column math — identical at any parallelism."""
-    from pyspark.sql import functions as F
-
-    e = spark.range(0, n_entries, numPartitions=64)
-
-    def node(salt):
-        u = F.pmod(F.xxhash64("id", F.lit(seed + salt)), F.lit(1 << 20)) / F.lit(float(1 << 20))
-        return F.floor(u * u * vocab).cast("long")
-
-    return e.select(
-        node(1).alias("i"),
-        (node(2) + vocab).alias("j"),
-        (1.0 + F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(5)).cast("double")).alias("x"),
-    )
+# the scaling-evidence corpus is shared with tools/*_probe.py so bench and
+# BENCH/GLOVE_SCALING.md always measure the same workload
+from graph_embeddings_spark.glove.synth import synthetic_cooc  # noqa: E402
 
 
 def run_glove_scale_section(spark, n_entries: int) -> dict:

@@ -45,6 +45,15 @@ def brute_topk(corpus: DataFrame, probes: DataFrame, k: int = 10) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _check_plane_seed(seed: int) -> None:
+    """Bit-parity between the column form and hyperplane_matrix holds only
+    for int32 seeds: F.lit(seed) outside int32 becomes a LongType literal
+    (8-byte xxh64 path) while the numpy side hashes 4 bytes. Fail loudly
+    instead of silently assigning different buckets per path."""
+    if not -(1 << 31) <= seed < (1 << 31):
+        raise ValueError(f"hyperplane seed must fit in int32, got {seed}")
+
+
 def hyperplane_signs(vec, n_planes: int, dim: int, seed: int = 42):
     """Sign bits of dot(vec, plane_p) for seeded pseudo-random planes.
     plane_p[d] = (hash(seed, p, d) / 2^63) in [-1, 1).
@@ -54,6 +63,7 @@ def hyperplane_signs(vec, n_planes: int, dim: int, seed: int = 42):
     interpreted ops per row. Kept as the parity oracle for
     `hyperplane_matrix`/`with_hyperplane_sig` (same hash recipe, tested
     identical); every shipping path uses the Arrow-batched matmul."""
+    _check_plane_seed(seed)
     bits = []
     for p in range(n_planes):
         comps = F.transform(
@@ -80,9 +90,10 @@ def hyperplane_matrix(n_planes: int, dim: int, seed: int = 42):
 
     from ..functions.xxh64 import xxh64_int_np
 
+    _check_plane_seed(seed)
     p = np.repeat(np.arange(n_planes, dtype=np.uint64), dim)
     d = np.tile(np.arange(dim, dtype=np.uint64), n_planes)
-    h = xxh64_int_np(np.uint64(seed), np.uint64(42))
+    h = xxh64_int_np(np.uint64(seed & 0xFFFFFFFF), np.uint64(42))
     h = xxh64_int_np(p, h)
     h = xxh64_int_np(d, h)
     return (h.view(np.int64).astype(np.float64) / float(2**63)).reshape(n_planes, dim)

@@ -46,7 +46,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.partitioning import collision_free_labels
-from .kernel import half_state_size, init_params, init_state, state_size, train_shard
+from .kernel import half_state_size, init_params, init_state, train_shard
+
+
+def _side_layout(method: str, dim: int) -> tuple[int, int]:
+    """Split of ONE side's optimizer-state half into (per-component width
+    hw, per-bias tail): AdaGrad [gsq(dim) | gsq_bias], Adam/AMSGrad
+    [m(dim),v(dim) | m_bias,v_bias]. The packed blob is
+    [vec(dim), state_half(hw+tail), bias]; the invariant the kernel relies
+    on is hw + tail == half_state_size — checked here once instead of
+    hand-duplicated at each call site."""
+    hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
+    assert hw + tail == half_state_size(method, dim)
+    return hw, tail
 
 PARAMS_SCHEMA = (
     "node_id long, focus array<float>, context array<float>, "
@@ -281,7 +293,7 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
     unpack it (the fancy-index below copies anyway, so slicing costs no
     extra pass). iu indexes the focus-side arrays and jv the context-side
     ones — the sides have independent node axes."""
-    hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
+    hw, tail = _side_layout(method, dim)
 
     def train_fn(cooc_tbl, params_tbl):
         import pyarrow as pa
@@ -321,8 +333,22 @@ def _make_train_fn(dim: int, method: str, cost: str, max_x: float, iteration: in
         # vectorized global->local id mapping (every i/j is in its side's
         # params by construction: each node's half ships to its whole grid
         # row/column, a superset of the shards its entries land in)
-        iu = np.searchsorted(f_ids, cooc_tbl.column("i").to_numpy()[perm])
-        jv = np.searchsorted(c_ids, cooc_tbl.column("j").to_numpy()[perm])
+        i_g = cooc_tbl.column("i").to_numpy()[perm]
+        j_g = cooc_tbl.column("j").to_numpy()[perm]
+        iu = np.searchsorted(f_ids, i_g)
+        jv = np.searchsorted(c_ids, j_g)
+        # fail loudly if an endpoint is NOT in the shipped params (preshard
+        # seed/n_shards mismatch, or a cooc id absent from nodes): a bare
+        # searchsorted miss would silently train a neighbouring node's row
+        if (
+            f_ids.size == 0 or c_ids.size == 0
+            or (np.take(f_ids, np.minimum(iu, f_ids.size - 1)) != i_g).any()
+            or (np.take(c_ids, np.minimum(jv, c_ids.size - 1)) != j_g).any()
+        ):
+            raise ValueError(
+                "glove shard: cooc node id missing from shipped params "
+                "(preshard/param grid mismatch)"
+            )
         x = cooc_tbl.column("x").to_numpy()[perm].astype(np.float64)
 
         shard_cost = train_shard(
@@ -463,7 +489,7 @@ def train_epoch(
         sharded = cooc.select(
             "i", "j", "x", shard_key.alias("shard"), _ord
         ).repartition(n_shards, "shard")
-    hw, tail = (dim, 1) if method == "adagrad" else (2 * dim, 2)
+    hw, tail = _side_layout(method, dim)
     f_half, c_half = _state_half_slices(hw, tail)
     # DIRECT param shipping: under the grid key a node's focus half can
     # only be needed in the G shards of its grid ROW (shard = rowhash(i)·G

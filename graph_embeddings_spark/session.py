@@ -26,6 +26,29 @@ def effective_cores(requested: int | str) -> int:
     return min(int(requested), clamp)
 
 
+def _local_dir() -> str | None:
+    """Shuffle/spill files go to tmpfs WHEN it can hold them: this
+    sandbox's single virtio root disk measures 30-200 MB/s, so a multi-GB
+    shuffle epoch serializes on writeback no matter how many cores run
+    (measured: the GloVe epoch's 2->8-core gain collapsed to 1.6x with
+    /tmp shuffle dirs). On a real cluster every executor ships its own
+    local NVMe and aggregate shuffle bandwidth scales WITH the executor
+    count — RAM-backed local dirs model that. But tmpfs is typically
+    capped at 50% of RAM and a shuffle bigger than the free space fails
+    with ENOSPC mid-job, so only opt in when >=16 GiB is actually free;
+    otherwise leave spark.local.dir at Spark's disk default. Explicit
+    override: SPARK_GRAFT_LOCAL_DIR (set empty to force the default)."""
+    if "SPARK_GRAFT_LOCAL_DIR" in os.environ:
+        return os.environ["SPARK_GRAFT_LOCAL_DIR"] or None
+    try:
+        st = os.statvfs("/dev/shm")
+        if st.f_bavail * st.f_frsize >= 16 << 30:
+            return "/dev/shm/spark-graft"
+    except OSError:
+        pass
+    return None
+
+
 def get_spark(
     app_name: str = "graph-embeddings-spark",
     cores: int | str | None = None,
@@ -61,18 +84,6 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        # Shuffle/spill files go to tmpfs: this sandbox's single virtio root
-        # disk measures 30-200 MB/s, so a multi-GB shuffle epoch serializes
-        # on writeback no matter how many cores run (measured: the GloVe
-        # epoch's 2->8-core gain collapsed to 1.6x with /tmp shuffle dirs).
-        # On a real cluster every executor ships its own local NVMe and
-        # aggregate shuffle bandwidth scales WITH the executor count — RAM-
-        # backed local dirs model that; a deployment would simply leave
-        # spark.local.dir at the executor-disk default.
-        .config(
-            "spark.local.dir",
-            os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-graft"),
-        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_", str(1 << 30))
@@ -81,6 +92,9 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
+    local_dir = _local_dir()
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

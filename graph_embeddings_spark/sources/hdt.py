@@ -414,9 +414,15 @@ def decode_hdt(data: bytes):
     subj_only = read_pfc(buf)
     preds = read_pfc(buf)
     obj_only = read_pfc(buf)
-    ci_type, fmt, _ = read_ci(buf)
+    ci_type, fmt, tprops = read_ci(buf)
     if ci_type != CI_TRIPLES or fmt != FMT_TRIPLES_BITMAP:
         raise ValueError(f"hdt: unsupported triples format {fmt!r}")
+    # the published format allows SPO/SOP/PSO/... component orders; this
+    # decoder only interprets the bitmaps as SPO — anything else must fail
+    # loudly instead of scrambling subject/object roles
+    order = str(tprops.get("order", "1")).strip()
+    if order not in ("1", "SPO"):
+        raise ValueError(f"hdt: unsupported triples order {order!r} (SPO only)")
     bit_y = read_bitmap(buf)
     bit_z = read_bitmap(buf)
     seq_y = read_seq(buf)

@@ -121,8 +121,11 @@ class _RdfXmlParser:
         if ptype == "Resource":
             obj, okind = self._fresh(), 1
             self.out.append((subj, pred, obj, okind))
-            for sub in children:
-                self._property_element(obj, sub, base)
+            sub_li = 0  # rdf:li inside the anonymous node needs its own
+            for sub in children:  # counter, like _node_element keeps one
+                if sub.tag == _R + "li":
+                    sub_li += 1
+                self._property_element(obj, sub, base, sub_li)
         elif ptype == "Collection":
             items = [self._node_element(child, base) for child in children]
             cells = [self._fresh() for _ in items]

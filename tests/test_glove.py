@@ -345,3 +345,21 @@ def test_combine_epoch_matches_hand_values(spark):
     assert np.allclose(got_m[1]["focus"], [12.0, 12.0])        # mean(11, 13)
     got_s = {r["node_id"]: r for r in _combine_epoch(copies, params, "sum_delta", hw, tail).collect()}
     assert got_s[1]["f_bias"] == pytest.approx(1.0 + 2.0 + 4.0)  # delta sum
+
+
+def test_missing_param_node_fails_loudly(spark):
+    """A cooc endpoint absent from params (or a preshard built under a
+    different seed/n_shards than the param shipping) must raise, not
+    silently train a neighbouring node's row through the vectorized
+    searchsorted mapping."""
+    cooc, _ = _tiny_cooc(spark)  # touches node ids 0..3
+    nodes = spark.createDataFrame([(0,), (1,), (2,)], "node_id long")  # 3 missing
+    params = init_params_df(nodes, 4, 42, "adagrad")
+    import py4j.protocol
+    with pytest.raises((py4j.protocol.Py4JJavaError, Exception)) as exc:
+        new_params, _ = train_epoch(
+            cooc, params, dim=4, method="adagrad", cost="glove", max_x=3.0,
+            iteration=0, seed=42, n_shards=2, batch=1,
+        )
+        new_params.collect()
+    assert "missing from shipped params" in str(exc.value)

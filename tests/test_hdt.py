@@ -200,3 +200,22 @@ def test_read_rdf_hdt_dispatch(spark, tmp_path):
     rows = read_rdf(spark, path).collect()
     got = sorted((r["subj"], r["pred"], r["obj"], r["obj_kind"]) for r in rows)
     assert got == sorted(TRIPLES)
+
+
+def test_non_spo_order_rejected():
+    """A structurally valid file whose triples section declares a non-SPO
+    component order must fail loudly — decoding it as SPO would scramble
+    subject/object roles with every CRC green. (The order check fires
+    before the bitmaps are read, so the fixture stops at the triples CI.)"""
+    blob = (
+        _ci_bytes(CI_GLOBAL, FMT_CONTAINER, "")
+        + _ci_bytes(CI_HEADER, "ntriples", "length=0;")
+        + _ci_bytes(CI_DICTIONARY, FMT_DICT_FOUR, "mapping=1;")
+        + _pfc_bytes([b"http://ex/o"])
+        + _pfc_bytes([b"http://ex/s"])
+        + _pfc_bytes([b"http://ex/p"])
+        + _pfc_bytes([b'"hi"'])
+        + _ci_bytes(CI_TRIPLES, FMT_TRIPLES_BITMAP, "order=4;numTriples=1;")
+    )
+    with pytest.raises(ValueError, match="order"):
+        decode_hdt(blob)

@@ -383,3 +383,26 @@ def test_turtle_roundtrip_property(triples):
             want.append((E + s, E + p, oval, 2))
     got = parse_turtle_text("\n".join(lines) + "\n")
     assert sorted(got) == sorted(want)
+
+
+def test_rdfxml_li_inside_parse_type_resource():
+    """rdf:li items nested under parseType=Resource get rdf:_1, rdf:_2 —
+    the recursive property-element call threads its own counter instead of
+    collapsing every position into rdf:_0."""
+    from graph_embeddings_spark.sources.rdfxml import RDF_NS, parse_rdfxml_text
+
+    EX = "http://example.org/"
+    doc = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://example.org/">
+  <rdf:Description rdf:about="http://example.org/e">
+    <ex:p rdf:parseType="Resource">
+      <rdf:li>a</rdf:li>
+      <rdf:li>b</rdf:li>
+    </ex:p>
+  </rdf:Description>
+</rdf:RDF>"""
+    got = parse_rdfxml_text(doc, "t")
+    anon = [o for s, p, o, k in got if p == EX + "p"][0]
+    members = {(p, o) for s, p, o, k in got if s == anon}
+    assert members == {(RDF_NS + "_1", "a"), (RDF_NS + "_2", "b")}

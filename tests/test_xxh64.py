@@ -150,3 +150,39 @@ def test_with_hyperplane_sig_parity_with_column_form(spark):
         for r in with_hyperplane_sig(df, "embedding", 8, dim, 42).collect()
     }
     assert got == ref
+
+
+def test_hyperplane_seed_contract():
+    """Bit-parity between the numpy plane matrix and the column form only
+    holds for int32 seeds (F.lit type switches the JVM hash path) — both
+    forms must reject anything wider, and negative int32 seeds must work
+    (JVM hashInt zero-extends the 4-byte value; np.uint64(-1) would throw)."""
+    import pytest
+
+    from graph_embeddings_spark.datapipe.ann import hyperplane_matrix, hyperplane_signs
+
+    m = hyperplane_matrix(2, 3, seed=-7)  # must not OverflowError
+    assert m.shape == (2, 3)
+    for bad in (1 << 31, -(1 << 31) - 1, 1 << 40):
+        with pytest.raises(ValueError, match="int32"):
+            hyperplane_matrix(2, 3, seed=bad)
+        with pytest.raises(ValueError, match="int32"):
+            hyperplane_signs(None, 2, 3, seed=bad)
+
+
+def test_hyperplane_negative_seed_parity(spark):
+    """Negative int32 seed: numpy matrix values == column-form values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.datapipe.ann import hyperplane_matrix
+
+    n_planes, dim, seed = 2, 3, -7
+    planes = hyperplane_matrix(n_planes, dim, seed)
+    cols = [
+        (F.xxhash64(F.lit(seed), F.lit(p), F.lit(d)).cast("double") / F.lit(float(2**63))).alias(f"c{p}_{d}")
+        for p in range(n_planes) for d in range(dim)
+    ]
+    row = spark.range(1).select(*cols).collect()[0]
+    got = np.array([row[f"c{p}_{d}"] for p in range(n_planes) for d in range(dim)]).reshape(n_planes, dim)
+    assert np.array_equal(planes, got)

@@ -17,21 +17,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def synthetic_cooc(spark, n_entries: int, vocab: int, seed: int = 42):
-    """Deterministic skewed cooc: node ids drawn with quadratic density
-    toward 0 (hub nodes), x in [1, 5] — pure column math, identical at any
-    parallelism."""
-    from pyspark.sql import functions as F
-
-    e = spark.range(0, n_entries, numPartitions=64)
-    def node(salt):
-        u = F.pmod(F.xxhash64("id", F.lit(seed + salt)), F.lit(1 << 20)) / F.lit(float(1 << 20))
-        return F.floor(u * u * vocab).cast("long")
-    return e.select(
-        node(1).alias("i"),
-        (node(2) + vocab).alias("j"),
-        (1.0 + F.pmod(F.xxhash64("id", F.lit(seed + 3)), F.lit(5)).cast("double")).alias("x"),
-    )
+# shared with bench.py — one corpus rule for all scaling evidence
+# (epoch_breakdown_probe.py imports it from here; keep the re-export)
+from graph_embeddings_spark.glove.synth import synthetic_cooc  # noqa: E402,F401
 
 
 def main():
@@ -79,7 +67,9 @@ def main():
             print(f"TRIAL {it}: {trials[-1]}s", file=sys.stderr, flush=True)
     print("PROBE" + json.dumps({
         "cores": cores, "entries": co_count, "n_shards": n_shards,
-        "trials": trials, "best": min(trials[1:]),  # first pays codegen
+        # first trial pays codegen — but with GLOVE_PROBE_TRIALS=1 it is
+        # the only measurement, so keep it rather than crash on min(())
+        "trials": trials, "best": min(trials[1:] or trials),
     }))
     spark.stop()
 
