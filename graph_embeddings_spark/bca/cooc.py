@@ -89,7 +89,10 @@ def build_adjacency(edges: DataFrame, direction: str, salt_degree: int = 0) -> D
 
 def max_rounds_bound(alpha: float, epsilon: float) -> int:
     """Paint shrinks by at least (1-alpha) per hop (DirectedWeighted.java:83
-    with a single neighbor), so depth <= log(eps)/log(1-alpha)."""
+    with a single neighbor), so depth <= log(eps)/log(1-alpha). alpha=1
+    retains all paint at the root — nothing ever spreads, one round."""
+    if alpha >= 1.0:
+        return 1
     return max(4, int(math.ceil(math.log(epsilon) / math.log(1.0 - alpha))) + 2)
 
 

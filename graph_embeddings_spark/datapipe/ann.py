@@ -160,13 +160,19 @@ def ivf_train_centroids(
         .limit(n_centroids)
         .toPandas()
     )
+    if len(init) == 0:
+        raise ValueError("ivf_train_centroids: empty corpus")
     cents = _normalize_rows(np.stack(init["embedding"].to_numpy()).astype(np.float64))
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents)
+        # spherical k-means: the Lloyd update averages the UNIT-normalized
+        # members (assignment is by cosine, so averaging raw embeddings
+        # would let high-norm outliers drag the centroids); ivf_assign
+        # emits each row's norm so the mean runs on v/norm JVM-side
+        assigned = ivf_assign(corpus, cents, with_norm=True)
         upd = (
-            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            assigned.select("cluster", "_norm", F.posexplode("embedding").alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(F.avg("v").alias("c"))
+            .agg(F.avg(F.col("v") / F.col("_norm")).alias("c"))
             .toPandas()
         )
         new = cents.copy()
@@ -176,28 +182,35 @@ def ivf_train_centroids(
     return cents
 
 
-def ivf_assign(corpus: DataFrame, centroids) -> DataFrame:
-    """corpus + centroid matrix -> (vec_id, embedding, cluster): one
-    Arrow-batched pass, numpy matmul per batch (cosine argmax)."""
+def ivf_assign(corpus: DataFrame, centroids, with_norm: bool = False) -> DataFrame:
+    """corpus + centroid matrix -> (vec_id, embedding, cluster[, _norm]):
+    one Arrow-batched pass, numpy matmul per batch (cosine argmax).
+    with_norm additionally emits each row's L2 norm (zero-norm rows get
+    1.0, matching _normalize_rows) for the spherical Lloyd update."""
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+    schema = "vec_id long, embedding array<float>, cluster int" + (
+        ", _norm double" if with_norm else ""
+    )
 
     def assign(batches):
         cents = bc.value  # (k, dim), rows unit-norm
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: nothing to stack
+                continue
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            mat = _normalize_rows(mat)
-            cl = np.argmax(mat @ cents.T, axis=1).astype("int32")
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "cluster": cl}
-            )
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            cl = np.argmax((mat / norms[:, None]) @ cents.T, axis=1).astype("int32")
+            out = {"vec_id": pdf["vec_id"], "embedding": pdf["embedding"], "cluster": cl}
+            if with_norm:
+                out["_norm"] = norms
+            yield pd.DataFrame(out)
 
-    return corpus.select("vec_id", "embedding").mapInPandas(
-        assign, "vec_id long, embedding array<float>, cluster int"
-    )
+    return corpus.select("vec_id", "embedding").mapInPandas(assign, schema)
 
 
 def ivf_topk(
@@ -219,6 +232,9 @@ def ivf_topk(
 
     cents = ivf_train_centroids(corpus, n_centroids, iters, seed)
     assigned = ivf_assign(corpus, cents)
+    # the corpus may hold fewer rows than n_centroids (init sample shrinks)
+    # and callers may over-ask: clamp instead of a mid-job reshape crash
+    nprobe = min(nprobe, len(cents))
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast(cents)
@@ -226,6 +242,8 @@ def ivf_topk(
     def probe_assign(batches):
         c = bc.value
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             mat = _normalize_rows(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
             order = np.argsort(-(mat @ c.T), axis=1)[:, :nprobe].astype("int32")
             out = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
@@ -258,25 +276,21 @@ def lsh_topk(
     """-> (probe_id, vec_id, cos, rank<=k) searching only same-bucket
     candidates per band (multi-band OR improves recall). Approximate: rank
     is within the candidate set."""
+    if n_planes % bands:  # same guard as cosine_dedup_pairs — a remainder
+        raise ValueError(  # would silently ignore the top planes
+            f"bands ({bands}) must divide n_planes ({n_planes})"
+        )
     width = n_planes // bands
-    mask = (1 << width) - 1
 
     def _banded(df, id_name, vec_name):
         # single Arrow pass computes the signs once per row (matmul vs the
         # broadcast plane matrix), then one explode fans out the bands
+        from ..functions.lsh import packed_sig_bands
+
         sig = with_hyperplane_sig(
             df.select(id_name, vec_name), vec_name, n_planes, dim, seed
         )
-        subs = [
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("_sig"), b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-        return sig.select(id_name, vec_name, F.explode(F.array(*subs)).alias("bb")).select(
-            id_name, vec_name, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
+        return packed_sig_bands(sig, "_sig", bands, width, [id_name, vec_name])
 
     cb = _banded(corpus.select("vec_id", F.col("embedding").alias("_cv")), "vec_id", "_cv")
     pb = _banded(

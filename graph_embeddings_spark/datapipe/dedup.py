@@ -80,15 +80,20 @@ def ngram_jaccard_pairs(
     Exact: candidates = pairs sharing ANY shingle (guarantees recall for
     jaccard > 0 thresholds), intersection counted by the shingle join
     itself — one explode + one shuffle join + one groupBy. max_df drops
-    ubiquitous shingles (skew guard) — only safe when threshold is high
-    enough that dropped-shingle-only pairs can't pass; None = exact."""
+    ubiquitous shingles (skew guard): jaccard is then computed over the
+    df-capped shingle universe — sizes AND intersections both come from
+    the filtered relation, so identical docs still score 1.0 and pairs
+    whose similarity lives only in dropped shingles are missed (the
+    documented trade); computing sizes unfiltered would instead
+    systematically UNDERestimate every pair sharing a dropped shingle.
+    None = exact."""
     sh = docs.select(
         F.col("doc_id").alias("id"), F.explode(char_ngrams_distinct(F.col("text"), k)).alias("sh")
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     if max_df is not None:
         keep = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(keep.select("sh"), "sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("a"), "sh")
     b = sh.select(F.col("id").alias("b"), "sh")
     inter = (
@@ -112,10 +117,15 @@ _WS_RE = None  # compiled lazily inside the worker
 def _shingle_hashes_np(text: str, k: int):
     """Distinct 64-bit hashes of the byte k-grams of the normalized text,
     fully numpy-vectorized (sliding window + polynomial code + splitmix64
-    finalizer). For k <= 8 the polynomial code 257^i is INJECTIVE over byte
-    k-grams and the finalizer is a bijection on uint64, so jaccard over
-    these hash sets EQUALS jaccard over the byte k-gram sets — no collision
-    approximation at all. Byte-grams == char-grams on ASCII text; for
+    finalizer). For k <= 8 the base-256 code is byte-packing — a BIJECTION
+    with the k-gram (max value 2^64-1 at k=8, no wraparound) — and the
+    finalizer is a bijection on uint64, so jaccard over these hash sets
+    EQUALS jaccard over the byte k-gram sets: no collision approximation.
+    (Base 257 is NOT injective at k=8: its code range exceeds 2^64 and
+    wraps.) For k > 8 no 64-bit code can be injective (256^k > 2^64);
+    base 257 — odd, hence invertible mod 2^64, every position keeps a
+    nonzero weight — is used with documented hash-collision probability
+    ~2^-64 per gram pair. Byte-grams == char-grams on ASCII text; for
     multi-byte UTF-8 the scheme is a (documented) byte-level shingling."""
     import re as _re
 
@@ -129,8 +139,10 @@ def _shingle_hashes_np(text: str, k: int):
     if len(b) < k:
         return np.empty(0, dtype=np.int64)
     w = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    weights = np.uint64(257) ** np.arange(k - 1, -1, -1, dtype=np.uint64)
-    z = (w * weights).sum(axis=1, dtype=np.uint64)
+    base = np.uint64(256 if k <= 8 else 257)
+    with np.errstate(over="ignore"):
+        weights = base ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+        z = (w * weights).sum(axis=1, dtype=np.uint64)
     z ^= z >> np.uint64(30)
     z *= np.uint64(0xBF58476D1CE4E5B9)
     z ^= z >> np.uint64(27)
@@ -365,21 +377,12 @@ def simhash_dedup(
     because the candidate self-join reads it twice."""
     from pyspark import StorageLevel
 
+    from ..functions.lsh import packed_sig_bands
+
     sh = simhash_df(docs)
     width = 64 // bands
-    subs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("sim"), b * width)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = (
-        sh.select("id", "sim", F.explode(F.array(*subs)).alias("bb"))
-        .select("id", "sim", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    banded = packed_sig_bands(sh, "sim", bands, width, ["id", "sim"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     if cache_registry is not None:
         cache_registry.append(banded)
@@ -443,22 +446,14 @@ def cosine_dedup_pairs(
     assert bands * width == n_planes, "bands must divide n_planes"
     from pyspark import StorageLevel
 
+    from ..functions.lsh import packed_sig_bands
+
     sig = with_hyperplane_sig(v, "v", n_planes, dim, seed)
-    mask = (1 << width) - 1
     # one explode computes the hyperplane signs once per row (a per-band
     # union would re-run the dim x n_planes dot products per branch);
     # persisted because the self-join reads it twice
-    subs = [
-        F.struct(
-            F.lit(bnd).alias("band"),
-            F.shiftrightunsigned(F.col("_sig"), bnd * width).bitwiseAND(F.lit(mask)).alias("bucket"),
-        )
-        for bnd in range(bands)
-    ]
-    banded = (
-        sig.select("id", "v", F.explode(F.array(*subs)).alias("bb"))
-        .select("id", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    banded = packed_sig_bands(sig, "_sig", bands, width, ["id", "v"]).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     if cache_registry is not None:
         cache_registry.append(banded)

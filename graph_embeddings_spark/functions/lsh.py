@@ -119,16 +119,40 @@ def minhash_signatures(
     return sig.select(F.col("_id").alias(id_col), *fixed)
 
 
-def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
-    """signatures -> (id, band, bucket) — one row per band."""
+def _minhash_band_structs(num_hashes: int, bands: int) -> list:
+    """(band, bucket=xxhash64(band, its h-columns)) structs — the single
+    definition of how minhash signature columns fold into band buckets."""
     rows_per_band = num_hashes // bands
     assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
-    band_structs = []
+    out = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(b), *cols).alias("bucket")))
+        out.append(F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(b), *cols).alias("bucket")))
+    return out
+
+
+def packed_sig_bands(df: DataFrame, sig_col: str, bands: int, width: int, keep: list) -> DataFrame:
+    """Packed-long signature -> (*keep, band, bucket) rows, where bucket b
+    is bit-slice [b*width, (b+1)*width) of sig_col. ONE explode per row —
+    the single band-derivation shared by simhash banding, hyperplane-LSH
+    cosine dedup and LSH top-k so the bucket rule cannot drift per site."""
+    mask = (1 << width) - 1
+    subs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned(F.col(sig_col), b * width).bitwiseAND(F.lit(mask)).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(*keep, F.explode(F.array(*subs)).alias("_bb")).select(
+        *keep, F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """signatures -> (id, band, bucket) — one row per band."""
     return sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+        F.col(id_col), F.explode(F.array(*_minhash_band_structs(num_hashes, bands))).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
@@ -182,16 +206,10 @@ def lsh_candidate_pairs_filtered(
     operator overhead."""
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // bands
-    assert bands * rows_per_band == num_hashes, "bands must divide num_hashes"
-    band_structs = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.xxhash64(F.lit(b), *cols).alias("bucket")))
     banded = sig_df.select(
         F.col(id_col),
         F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("_sig"),
-        F.explode(F.array(*band_structs)).alias("bb"),
+        F.explode(F.array(*_minhash_band_structs(num_hashes, bands))).alias("bb"),
     ).select(id_col, "_sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     # persisted: the self-join below reads this relation TWICE, and without
     # a cache each side re-runs the whole upstream signature aggregation
@@ -255,20 +273,29 @@ def lsh_bucket_stats(df: DataFrame, id_col: str, shingle_col, num_hashes=16, ban
 
 
 def rare_shingle_pairs(
-    df: DataFrame, id_col: str, shingle_col, keep_rarest: int = 4, max_df: int = 500
+    df: DataFrame, id_col: str, shingle_col, keep_rarest: int | None = 4, max_df: int = 500
 ) -> DataFrame:
-    """Prefix-filtering alternative blocking: join on each string's K globally
-    rarest shingles (exact-ish recall for short strings where MinHash bands
-    are coarse). Used for jarowinkler/levenshtein groups (SURVEY.md §2 J1)."""
+    """Shared-shingle blocking with a df cap (SURVEY.md §2 J1).
+
+    keep_rarest=None joins on EVERY df-capped shingle — an inverted-index
+    block whose recall is exact up to the max_df cap: any pair sharing at
+    least one non-ubiquitous shingle meets. Use for set metrics (token
+    jaccard/cosine), where similarity > 0 implies a shared shingle.
+
+    keep_rarest=K joins on each string's K globally rarest shingles only
+    (canonical order: df asc, shingle asc) — a HEURISTIC throttle for
+    metrics with no set-overlap bound (jarowinkler/levenshtein over char
+    shingles): pairs whose kept prefixes are disjoint are missed even
+    above threshold, so K trades recall for candidate volume."""
     from pyspark.sql.window import Window
 
     ex = df.select(F.col(id_col).alias("_id"), F.explode(shingle_col).alias("_sh"))
     freq = ex.groupBy("_sh").agg(F.count("*").alias("_df")).filter(F.col("_df") <= max_df)
-    ranked = (
-        ex.join(freq, "_sh")
-        .withColumn("_rk", F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_sh")))
-        .filter(F.col("_rk") <= keep_rarest)
-    )
+    ranked = ex.join(freq, "_sh")
+    if keep_rarest is not None:
+        ranked = ranked.withColumn(
+            "_rk", F.row_number().over(Window.partitionBy("_id").orderBy("_df", "_sh"))
+        ).filter(F.col("_rk") <= keep_rarest)
     a = ranked.select(F.col("_id").alias("a"), "_sh")
     b = ranked.select(F.col("_id").alias("b"), "_sh")
     return a.join(b, "_sh").filter(F.col("a") < F.col("b")).select("a", "b").distinct()

@@ -42,10 +42,17 @@ _WS = re.compile(r"\s+")
 # Tokenizer / profiles (Python scalar forms)
 # ---------------------------------------------------------------------------
 
+# Java String.trim() strips every char <= U+0020 — NOT the same set as
+# Python str.strip() (unicode whitespace, e.g. \xa0) or Spark F.trim
+# (spaces only). All tokenizer forms use this set so the scalar, column,
+# and reference (TokenBased.java:57) paths agree on text with tabs/newlines.
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+
+
 def tokenize_py(s: str) -> list[str]:
     out = []
     for raw in s.split(" "):
-        tok = raw.strip()
+        tok = raw.strip(_JAVA_TRIM)
         if len(tok) <= 1 or tok in STOPWORDS:
             continue
         out.append(tok)
@@ -298,8 +305,10 @@ def make_metric(method: str, **params):
 # ---------------------------------------------------------------------------
 
 def legal_tokens_col(c: Column) -> Column:
-    """Tokenizer as a pure column expression (split/trim/filter)."""
-    toks = F.transform(F.split(c, " "), lambda t: F.trim(t))
+    """Tokenizer as a pure column expression (split/trim/filter). btrim
+    with the explicit Java-trim char set — F.trim alone strips spaces
+    only, diverging from tokenize_py/the reference on tabs/newlines."""
+    toks = F.transform(F.split(c, " "), lambda t: F.btrim(t, F.lit(_JAVA_TRIM)))
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.filter(toks, lambda t: (F.length(t) > 1) & ~F.array_contains(stop, t))
 

@@ -106,13 +106,19 @@ def similarity_pairs(nodes: DataFrame, group: SimilarityGroup) -> DataFrame:
 
     if group.method in _STRING_METRICS:
         if group.method in ("token_jaccard", "token_cosine"):
-            # token metrics: block on shared (rare) TOKENS — any pair with
-            # token-jaccard > 0 shares a token, so recall is deterministic
-            # up to the max_df skew cap (char-shingle LSH under-recalls
-            # token-level similarity)
+            # token metrics: block on ALL df-capped shared tokens
+            # (keep_rarest=None) — any pair with token similarity > 0
+            # shares a word, so recall IS exact up to the max_df skew cap.
+            # (A fixed rarest-K prefix would miss above-threshold pairs
+            # whose kept prefixes are disjoint; char-shingle LSH
+            # under-recalls token-level similarity.)
             toks = word_shingles_col(F.col("label"), 1)
-            cands = rare_shingle_pairs(pool.withColumn("_sh", toks), "id", F.col("_sh"))
+            cands = rare_shingle_pairs(
+                pool.withColumn("_sh", toks), "id", F.col("_sh"), keep_rarest=None
+            )
         elif group.method in ("jarowinkler", "levenshtein"):
+            # no set-overlap bound exists for these metrics: rarest-4
+            # char-3-gram blocking is an explicit recall/volume HEURISTIC
             shingles = char_shingles_col(F.col("label"), 3)
             cands = rare_shingle_pairs(pool.withColumn("_sh", shingles), "id", F.col("_sh"))
         else:  # ngram_jaccard / ngram_cosine: banded MinHash over char shingles

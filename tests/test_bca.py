@@ -286,3 +286,12 @@ def test_adjacency_wsum(spark):
 
 def test_max_rounds_bound():
     assert max_rounds_bound(0.1, 1e-3) >= math.log(1e-3) / math.log(0.9)
+
+
+def test_max_rounds_bound_alpha_one():
+    """alpha=1.0 retains all paint at the root — legal config, one round,
+    not a math domain error."""
+    from graph_embeddings_spark.bca.cooc import max_rounds_bound
+
+    assert max_rounds_bound(1.0, 1e-3) == 1
+    assert max_rounds_bound(0.5, 1e-3) >= 4

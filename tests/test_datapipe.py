@@ -270,3 +270,66 @@ def test_winnowing_guarantee_and_edges(spark):
     # fingerprints are a sparse selection, not all grams
     n_grams_0 = len(docs.collect()[0]["text"]) - 4
     assert 0 < len(fps[0]) < n_grams_0
+
+
+def test_ngram_jaccard_max_df_sizes_from_filtered_universe(spark):
+    """Identical docs whose shingles include ubiquitous ones must still
+    score jac=1.0 under max_df: sizes and intersections both come from the
+    df-capped shingle relation (unfiltered sizes would underestimate)."""
+    from graph_embeddings_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    common = "zzzz" * 5  # shingles shared by EVERY doc -> df-capped away
+    rows = [(i, common + f" unique text block number {i}") for i in range(12)]
+    rows += [(100, common + " twin document alpha"), (101, common + " twin document alpha")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["jac"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, k=3, max_df=5).collect()
+    }
+    assert got.get((100, 101)) == pytest.approx(1.0)
+
+
+def test_shingle_hash_k8_is_byte_packing():
+    """At k=8 the code must be the big-endian byte packing (a bijection) —
+    base 257 wraps mod 2^64 at k=8 and can collide."""
+    import numpy as np
+
+    from graph_embeddings_spark.datapipe.dedup import _shingle_hashes_np
+
+    s = "the quick brown fox"
+
+    def fin(z):
+        m = (1 << 64) - 1
+        z &= m
+        z ^= z >> 30
+        z = (z * 0xBF58476D1CE4E5B9) & m
+        z ^= z >> 27
+        z = (z * 0x94D049BB133111EB) & m
+        z ^= z >> 31
+        return z - (1 << 64) if z >= 1 << 63 else z
+
+    b = s.encode()
+    expected = {fin(int.from_bytes(b[i : i + 8], "big")) for i in range(len(b) - 7)}
+    got = {int(v) for v in _shingle_hashes_np(s, 8)}
+    assert got == expected
+
+
+def test_ivf_nprobe_exceeds_centroids(spark):
+    """nprobe > available centroids (explicitly or because the corpus is
+    tiny) must clamp, not crash with a reshape mismatch mid-job."""
+    from graph_embeddings_spark.datapipe.ann import ivf_topk
+
+    rows = [(i, [float(i), 1.0, 0.0]) for i in range(6)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = corpus.limit(2)
+    got = ivf_topk(corpus, probes, k=3, n_centroids=4, nprobe=9, iters=1)
+    assert got.count() > 0
+
+
+def test_lsh_topk_bands_must_divide_planes(spark):
+    from graph_embeddings_spark.datapipe.ann import lsh_topk
+
+    rows = [(i, [float(i)] * 4) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="divide"):
+        lsh_topk(df, df, k=2, n_planes=8, bands=3, dim=4)

@@ -271,3 +271,42 @@ def test_date_similarity_col_matches_scalar(spark, unit, direction):
             time_direction=direction,
         )
         assert r["s"] == pytest.approx(want, abs=1e-12), (r["da"], r["db"], unit, direction)
+
+
+def test_token_blocking_recall_not_truncated(spark):
+    """A pair whose 4 globally-rarest tokens are disjoint must still meet:
+    token-metric blocking joins on ALL df-capped shared tokens, not a
+    fixed rarest-K prefix (which silently dropped above-threshold pairs)."""
+    shared = " ".join(f"common{i:02d}" for i in range(20))
+    labels = [
+        shared,                                                  # id 0
+        shared + " rareaa rarebb rarecc raredd",                 # id 1: 4 unique rarer tokens
+        "totally different thing",                               # id 2
+    ]
+    nodes = _lit_nodes(spark, labels)
+    # jaccard(0,1) = 20/24 ≈ 0.833
+    group = SimilarityGroup("p:name", "p:name", method="token_jaccard", threshold=0.8)
+    got = {(r["a"], r["b"]): r["sim"] for r in similarity_pairs(nodes, group).collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(20 / 24)
+    assert all(2 not in p for p in got)
+
+
+def test_tokenizer_java_trim_parity(spark):
+    """Tokens carrying tabs/newlines: the column form must agree with the
+    scalar form, both using Java String.trim semantics (strip <= U+0020)."""
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.functions.similarity import (
+        token_jaccard_col, token_jaccard_py,
+    )
+
+    a, b = "foo\tbar baz\n qux", "foo\tbar baz"
+    expected = token_jaccard_py(a, b)
+    got = (
+        spark.range(1)
+        .select(token_jaccard_col(F.lit(a), F.lit(b)).alias("sim"))
+        .collect()[0]["sim"]
+    )
+    assert got == pytest.approx(expected)
+    # sanity: the scalar form itself sees {foo\tbar, baz, qux} vs {foo\tbar, baz}
+    assert expected == pytest.approx(2 / 3)
