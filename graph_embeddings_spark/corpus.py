@@ -157,13 +157,20 @@ def build_world(seed: int = 42, n_entities: int = 120) -> World:
     seen: set[str] = set()
 
     def fresh(candidate_fn):
-        k = 0
-        while True:
+        for k in range(64):
             cand = candidate_fn(k)
             if cand not in seen:
                 seen.add(cand)
                 return cand
+        # the candidate spaces are BOUNDED (3 person variants, 5 place
+        # suffixes, ...) and exhaust at large n_entities — fall back to a
+        # deterministic numbered form instead of looping forever
+        base = candidate_fn(0)
+        k = 2
+        while f"{base} {k}" in seen:
             k += 1
+        seen.add(f"{base} {k}")
+        return f"{base} {k}"
 
     for t, n in counts.items():
         for i in range(n):

@@ -83,16 +83,22 @@ def extract_surface_triples(
     aliases: list[str],
     text_col: str = "text",
     min_parallelism: int | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """min_parallelism guards the CPU-bound regex scan from AQE's bytes-based
     partition coalescing: post-shuffle text data compresses to a few MB, so
     AQE collapses the stage to 1-2 tasks while the per-row CPU cost is the
     real constraint (measured: scan throughput is ~4.6k pages/s/core — a
     2-task plan wastes 30 of 32 cores). None -> defaultParallelism; 0 ->
-    leave partitioning alone."""
+    leave partitioning alone.
+
+    ts_col: when set, that timestamp column is carried through onto every
+    emitted triple — the streaming sink needs it so downstream per-url
+    latest-wins dedup can tell a re-crawl's triples from the original's."""
     pattern = alias_regex(aliases)
     if min_parallelism is None:
         min_parallelism = pages_df.sparkSession.sparkContext.defaultParallelism
+    out_schema = SURFACE_TRIPLES_SCHEMA + (f", {ts_col} timestamp" if ts_col else "")
 
     def scan(batches):
         for pdf in batches:
@@ -100,8 +106,9 @@ def extract_surface_triples(
             # constructing the frame from a dict skips the per-row tuple
             # boxing + transpose pandas does for a list-of-rows input
             # (hundreds of thousands of emitted triples per batch)
-            urls, subs, preds, objs, kinds = [], [], [], [], []
-            for url, text in zip(pdf["url"], pdf[text_col]):
+            urls, subs, preds, objs, kinds, tss = [], [], [], [], [], []
+            ts_vals = pdf[ts_col] if ts_col else pdf["url"]  # unused w/o ts
+            for url, text, ts in zip(pdf["url"], pdf[text_col], ts_vals):
                 if not text:
                     continue
                 for block in text.split("\n"):
@@ -111,20 +118,23 @@ def extract_surface_triples(
                         preds.append(p)
                         objs.append(o)
                         kinds.append(k)
-            yield pd.DataFrame(
-                {
-                    "url": urls,
-                    "subj_surface": subs,
-                    "pred": preds,
-                    "obj_surface": objs,
-                    "obj_kind": kinds,
-                }
-            )
+                        if ts_col:
+                            tss.append(ts)
+            cols = {
+                "url": urls,
+                "subj_surface": subs,
+                "pred": preds,
+                "obj_surface": objs,
+                "obj_kind": kinds,
+            }
+            if ts_col:
+                cols[ts_col] = tss
+            yield pd.DataFrame(cols)
 
-    selected = pages_df.select("url", text_col)
+    selected = pages_df.select("url", text_col, *((ts_col,) if ts_col else ()))
     if min_parallelism:
         selected = selected.repartition(min_parallelism)
-    return selected.mapInPandas(scan, SURFACE_TRIPLES_SCHEMA)
+    return selected.mapInPandas(scan, out_schema)
 
 
 def link_triples(surface_df: DataFrame, alias_df: DataFrame) -> DataFrame:

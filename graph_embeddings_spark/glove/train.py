@@ -709,6 +709,7 @@ def optimize(
     prev_cost = 0.0
     final_cost = 0.0
     epochs = 0
+    converged = False
     # every epoch exchange is REPARTITION_BY_NUM — AQE's per-query-stage
     # barriers are pure latency here, so the whole loop runs under a
     # static plan (restored on exit)
@@ -741,10 +742,40 @@ def optimize(
             prev_cost = epoch_cost
             if iter_diff <= tolerance:
                 final_cost = epoch_cost
+                converged = True
+                # durable convergence marker: a resumed run must treat this
+                # training as COMPLETE (maxiter alone can't tell an early
+                # tolerance break from a crash mid-run)
+                if checkpoint_dir is not None:
+                    mark_converged(checkpoint_dir, it, epoch_cost)
                 break
     if presharded_here:
         cooc.unpersist()
+    if not converged and history:
+        # ran to maxiter without the tolerance break: the honest final cost
+        # is the last epoch's, not the 0.0 placeholder
+        final_cost = history[-1]
     return TrainResult(params=params, cost_history=history, final_cost=final_cost, epochs_run=epochs)
+
+
+def mark_converged(checkpoint_dir: str, epoch: int, final_cost: float) -> None:
+    import json
+    import os
+
+    with open(os.path.join(checkpoint_dir, "_CONVERGED"), "w") as f:
+        json.dump({"epoch": epoch, "final_cost": final_cost}, f)
+
+
+def converged_epoch(checkpoint_dir: str) -> int | None:
+    """Epoch at which a prior run's tolerance break fired, or None."""
+    import json
+    import os
+
+    path = os.path.join(checkpoint_dir, "_CONVERGED")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return int(json.load(f)["epoch"])
 
 
 def resume_params(spark, checkpoint_dir: str, epoch: int) -> DataFrame:

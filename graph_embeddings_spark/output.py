@@ -23,9 +23,11 @@ _TYPE_NAMES = {URI: "URI", BLANK: "BLANK", LITERAL: "LITERAL", PREDICATE: "PREDI
 
 
 def filter_embeddings(embeddings: DataFrame, out: OutputConfig) -> DataFrame:
-    """embeddings(node_id, label, node_type, vec) filtered per F2+F3."""
-    enabled = out.enabled_types()
-    df = embeddings.filter(F.col("node_type").isin(enabled))
+    """embeddings(node_id, label, node_type, vec) filtered per F2+F3.
+
+    One filter: each enabled type contributes a cond carrying its own
+    node_type equality, so the OR of conds IS the F2 type filter — a
+    separate isin() pre-filter would state the same semantics twice."""
     conds = []
     for ntype, prefixes in (
         (URI, out.uri), (BLANK, out.blank), (LITERAL, out.literal), (PREDICATE, out.predicate),
@@ -44,7 +46,8 @@ def filter_embeddings(embeddings: DataFrame, out: OutputConfig) -> DataFrame:
     keep = None
     for c in conds:
         keep = c if keep is None else (keep | c)
-    return df.filter(keep) if keep is not None else df
+    # no type enabled -> empty result (out.enabled_types() is then empty)
+    return embeddings.filter(keep) if keep is not None else embeddings.limit(0)
 
 
 def write_parquet(embeddings: DataFrame, path: str) -> None:

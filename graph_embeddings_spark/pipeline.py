@@ -22,17 +22,20 @@ Checkpoint layout under `work_dir`:
 
 from __future__ import annotations
 
+import json
 import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .config import LITERAL, PipelineConfig
+from .config import PipelineConfig
 from .corpus import PHRASE_TO_PRED  # closed predicate vocabulary
 from .bca.cooc import CoocResult, bca_cooccurrence
 from .extract.text import latest_texts, with_extracted_text
 from .extract.triples import extract_surface_triples, link_triples
-from .glove.train import extract_embeddings, find_completed_epochs, optimize, resume_params
+from .glove.train import (
+    converged_epoch, extract_embeddings, find_completed_epochs, optimize, resume_params,
+)
 from .graph.canonicalize import all_similarity_pairs
 from .graph.materialize import materialize_graph, similarity_edges
 from .output import filter_embeddings, write_tsv
@@ -226,10 +229,27 @@ def run_graph_pipeline(
         return res.cooc
 
     cooc_df = _resumable(spark, work_dir, "cooc", build_cooc, resume, caches=cooc_caches)
-    agg = cooc_df.agg(F.count("*").alias("n"), F.max("x").alias("mx")).collect()[0]
+    # co_count/max_x/vocab are one full aggregate pass each — checkpoint
+    # them next to the cooc stage so a fully-resumed run loads three
+    # numbers instead of re-scanning a potentially billions-row table
+    meta_path = os.path.join(work_dir, "cooc", "_meta.json") if work_dir else None
+    meta = None
+    if resume and meta_path and os.path.exists(meta_path) and stage_done(work_dir, "cooc"):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    if meta is None:
+        agg = cooc_df.agg(F.count("*").alias("n"), F.max("x").alias("mx")).collect()[0]
+        meta = {
+            "co_count": int(agg["n"]),
+            "max_x": float(agg["mx"]) if agg["mx"] is not None else 0.0,
+            "vocab_size": nodes.count(),
+        }
+        if meta_path:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
     cooc = CoocResult(
-        cooc=cooc_df, vocab_size=nodes.count(), co_count=int(agg["n"]),
-        max_x=float(agg["mx"]) if agg["mx"] is not None else 0.0,
+        cooc=cooc_df, vocab_size=meta["vocab_size"], co_count=meta["co_count"],
+        max_x=meta["max_x"],
     )
 
     embeddings = None
@@ -241,11 +261,18 @@ def run_graph_pipeline(
         start_params, start_epoch = None, 0
         if resume and ckpt is not None:
             done_epochs = find_completed_epochs(ckpt)
-            if done_epochs and max(done_epochs) + 1 < config.opt.maxiter:
-                start_epoch = max(done_epochs) + 1
-                start_params = resume_params(spark, ckpt, max(done_epochs))
-            elif done_epochs:  # training already finished in a prior run
+            conv = converged_epoch(ckpt)
+            finished = done_epochs and (
+                max(done_epochs) + 1 >= config.opt.maxiter
+                # the prior run's tolerance break is as final as maxiter:
+                # resuming past it would retrain and CHANGE the embeddings
+                or (conv is not None and conv <= max(done_epochs))
+            )
+            if finished:
                 start_epoch = config.opt.maxiter
+                start_params = resume_params(spark, ckpt, max(done_epochs))
+            elif done_epochs:
+                start_epoch = max(done_epochs) + 1
                 start_params = resume_params(spark, ckpt, max(done_epochs))
         res = optimize(
             cooc.cooc, nodes,
@@ -256,23 +283,33 @@ def run_graph_pipeline(
             checkpoint_dir=ckpt, start_params=start_params, start_epoch=start_epoch,
         )
         history = res.cost_history
-        vecs = extract_embeddings(res.params)
-        if config.pca is not None:
-            # the reference declares pca.variance in every shipped config
-            # but left the reduction TODO (Main.java:43-44) — real here
-            from .glove.pca import pca_reduce
+        trained_now = len(history) > 0  # history holds NEW epochs only
+        if not trained_now and resume and work_dir and stage_done(work_dir, "embeddings"):
+            # fully-resumed run: no epoch executed, so the checkpointed
+            # embeddings are current — skip the join + PCA refit
+            embeddings = load_stage(spark, work_dir, "embeddings")
+        else:
+            vecs = extract_embeddings(res.params)
+            if config.pca is not None:
+                # the reference declares pca.variance in every shipped config
+                # but left the reduction TODO (Main.java:43-44) — real here
+                from .glove.pca import pca_reduce
 
-            vecs = pca_reduce(vecs, config.pca.variance)
-        embeddings = vecs.join(nodes, "node_id").select(
-            "node_id", "label", "node_type", "vec"
-        )
-        embeddings = _resumable(spark, work_dir, "embeddings", lambda: embeddings, False)
-        filtered = filter_embeddings(embeddings, config.output)
-        if work_dir:
-            write_tsv(
-                filtered, os.path.join(work_dir, "export"), config.output.name,
-                config=config,
+                vecs = pca_reduce(vecs, config.pca.variance)
+            embeddings = vecs.join(nodes, "node_id").select(
+                "node_id", "label", "node_type", "vec"
             )
+            embeddings = _resumable(spark, work_dir, "embeddings", lambda: embeddings, False)
+        if work_dir:
+            export_dir = os.path.join(work_dir, "export")
+            export_done = os.path.join(export_dir, "_DONE")
+            # two global sorts: only re-export when something trained or the
+            # prior export never finished
+            if trained_now or not resume or not os.path.exists(export_done):
+                filtered = filter_embeddings(embeddings, config.output)
+                write_tsv(filtered, export_dir, config.output.name, config=config)
+                with open(export_done, "w") as f:
+                    f.write("ok\n")
 
     return PipelineResult(
         triples=triples, nodes=nodes, edges=all_edges, cooc=cooc,

@@ -24,6 +24,10 @@ def resolve_iri(iri: str, base: str) -> str:
         return iri
     if iri.startswith("#"):
         return base.split("#", 1)[0] + iri
+    if iri.startswith("?"):
+        # query-only reference KEEPS the base path (RFC3986 §5.3), it does
+        # not replace the last segment: 'http://a/b/c' + '?q' -> '.../c?q'
+        return base.split("#", 1)[0].split("?", 1)[0] + iri
     scheme_end = base.find("://")
     if iri.startswith("//"):
         return (base[: base.find(":")] + ":" + iri) if ":" in base else iri
@@ -33,12 +37,16 @@ def resolve_iri(iri: str, base: str) -> str:
             root = base if auth_end == -1 else base[:auth_end]
             return root + iri
         return iri
-    # relative path: drop the base's last path segment
+    # relative path: drop the base's last path segment. The base's query/
+    # fragment never survive a path reference — strip them first (also
+    # keeps a '/' inside the query from being mistaken for a path slash)
+    stripped = base.split("#", 1)[0].split("?", 1)[0]
+    scheme_end = stripped.find("://")
     path_start = scheme_end + 3 if scheme_end != -1 else 0
-    slash = base.rfind("/")
+    slash = stripped.rfind("/")
     if slash < path_start or (scheme_end != -1 and slash == scheme_end + 2):
-        return base + "/" + iri
-    return base[: slash + 1] + iri
+        return stripped + "/" + iri
+    return stripped[: slash + 1] + iri
 
 
 def parse_files_distributed(

@@ -36,8 +36,31 @@ def _strip_uri(c):
     return F.regexp_replace(c, r"^<|>$", "")
 
 
+_SIMPLE_ESCAPES = (
+    ("\\t", "\t"), ("\\b", "\b"), ("\\n", "\n"), ("\\r", "\r"),
+    ("\\f", "\f"), ('\\"', '"'), ("\\'", "'"),
+)
+
+
+def _decode_simple_escapes(lex):
+    """ECHAR decode in pure column ops. Only called on literals with NO
+    escaped backslash and NO numeric escape (those take the Python branch),
+    so every remaining backslash unambiguously leads a single-char escape
+    and plain left-to-right literal replaces are order-safe."""
+    x = lex
+    for esc, ch in _SIMPLE_ESCAPES:
+        x = F.replace(x, F.lit(esc), F.lit(ch))
+    return x
+
+
 def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
-    """lines (one N-Triples statement per row) -> triples DF."""
+    """lines (one N-Triples statement per row) -> triples DF.
+
+    Literal escapes are decoded to Jena-parity lexical forms: the common
+    path (ECHAR escapes only) stays pure-column; rows containing \\uXXXX /
+    \\UXXXXXXXX numeric escapes (rare) take a vectorized Python branch that
+    reuses the Turtle parser's _unescape — a bad numeric escape drops the
+    row (the module's drop-and-count contract) instead of failing the job."""
     line = F.col(col)
     subj_raw = F.regexp_extract(line, _TRIPLE_RE, 1)
     pred = F.regexp_extract(line, _TRIPLE_RE, 2)
@@ -50,26 +73,48 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
         .otherwise(F.lit(2))
         .cast("tinyint")
     )
-    # lexical form: drop closing quote + suffix, opening quote, unescape \" \\
+    # lexical form: drop closing quote + suffix, opening quote
     lex = F.regexp_replace(obj_raw, r"\"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$", "")
     lex = F.regexp_replace(lex, r"^\"", "")
-    lex = F.regexp_replace(lex, r"\\([\"\\])", r"$1")
+    is_lit = ~obj_raw.startswith("<") & ~obj_raw.startswith("_:")
+    # numeric escapes can't be decoded column-side, and escaped
+    # backslashes would make independent per-escape replaces order-unsafe
+    # — both (rare) shapes take the Python branch; everything else stays
+    # pure-column
+    has_u = is_lit & (lex.rlike(r"\\[uU]") | lex.contains("\\\\"))
+
     obj = (
         F.when(obj_raw.startswith("<"), _strip_uri(obj_raw))
         .when(obj_raw.startswith("_:"), obj_raw)
-        .otherwise(lex)
+        .otherwise(_decode_simple_escapes(lex))
     )
     subj = F.when(subj_raw.startswith("<"), _strip_uri(subj_raw)).otherwise(subj_raw)
 
-    return (
-        lines.filter(ok)
-        .select(
-            subj.alias("subj"),
-            pred.alias("pred"),
-            obj.alias("obj"),
-            obj_kind.alias("obj_kind"),
-        )
+    base = lines.filter(ok)
+    plain = base.filter(~has_u).select(
+        subj.alias("subj"), pred.alias("pred"), obj.alias("obj"), obj_kind.alias("obj_kind")
     )
+    unicode_rows = base.filter(has_u).select(
+        subj.alias("subj"), pred.alias("pred"), lex.alias("obj"), obj_kind.alias("obj_kind")
+    )
+
+    def decode_u(batches):
+        from .turtle import TurtleSyntaxError, _unescape
+
+        for pdf in batches:
+            def one(v):
+                try:
+                    return _unescape(v)
+                except (TurtleSyntaxError, ValueError):
+                    return None
+
+            pdf = pdf.assign(obj=pdf["obj"].map(one))
+            yield pdf[pdf["obj"].notna()]
+
+    decoded = unicode_rows.mapInPandas(
+        decode_u, "subj string, pred string, obj string, obj_kind tinyint"
+    )
+    return plain.unionByName(decoded)
 
 
 def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..corpus import WEB_PAGES_SCHEMA
 from ..extract.text import extract_text_udf
-from ..extract.triples import SURFACE_TRIPLES_SCHEMA, extract_surface_triples
+from ..extract.triples import extract_surface_triples
 
 
 def read_page_stream(
@@ -52,8 +52,11 @@ def streaming_triples(
         .select("url", "warc_ts", "text")
     )
     # min_parallelism=0: never repartition inside a stream (adds a shuffle
-    # per micro-batch; micro-batches are already file-partitioned)
-    return extract_surface_triples(texted, aliases, min_parallelism=0)
+    # per micro-batch; micro-batches are already file-partitioned).
+    # ts_col: every appended triple keeps its page's warc_ts — without it
+    # the sink's rows from a re-crawl are indistinguishable from the
+    # original's and the promised downstream latest-wins dedup is impossible
+    return extract_surface_triples(texted, aliases, min_parallelism=0, ts_col="warc_ts")
 
 
 def start_triples_sink(

@@ -363,3 +363,27 @@ def test_missing_param_node_fails_loudly(spark):
         )
         new_params.collect()
     assert "missing from shipped params" in str(exc.value)
+
+
+def test_convergence_marker_and_final_cost(spark, tmp_path):
+    """A tolerance break writes _CONVERGED; a maxiter run reports the last
+    epoch's cost as final_cost instead of the 0.0 placeholder."""
+    from graph_embeddings_spark.glove.train import converged_epoch, optimize
+
+    cooc, nodes = _tiny_cooc(spark)
+    ckpt = str(tmp_path / "params")
+    # huge tolerance: the second epoch's |diff| is within it -> early break
+    res = optimize(
+        cooc, nodes, dim=4, co_count=8, max_x=3.0, cost="glove", method="adagrad",
+        maxiter=10, tolerance=1e9, seed=42, n_shards=2, batch=1, checkpoint_dir=ckpt,
+    )
+    conv = converged_epoch(ckpt)
+    assert conv is not None and conv == res.epochs_run - 1
+    assert res.final_cost == pytest.approx(res.cost_history[-1])
+    # maxiter run (zero tolerance): final_cost must be the last real cost
+    res2 = optimize(
+        cooc, nodes, dim=4, co_count=8, max_x=3.0, cost="glove", method="adagrad",
+        maxiter=3, tolerance=0.0, seed=42, n_shards=2, batch=1,
+    )
+    assert res2.final_cost == pytest.approx(res2.cost_history[-1])
+    assert res2.final_cost > 0.0

@@ -62,3 +62,26 @@ def test_roundtrip_through_materialize(spark):
     # per-predicate literal identity: same literal under two predicates
     lits = nodes.filter("node_type = 2")
     assert lits.count() == 4  # plain/typed/tagged/escaped, each under one pred
+
+
+def test_full_escape_decoding(spark):
+    """ECHAR + numeric escapes decode to Jena-parity lexical forms:
+    \\n/\\t become real control chars, \\uXXXX/\\UXXXXXXXX become the code
+    point, '\\\\n' stays backslash+n, and a bad numeric escape drops the
+    row instead of failing the job."""
+    lines = [
+        '<http://ex/a> <http://ex/p> "line1\\nline2" .',
+        '<http://ex/b> <http://ex/p> "tab\\there" .',
+        '<http://ex/c> <http://ex/p> "caf\\u00E9" .',
+        '<http://ex/d> <http://ex/p> "big\\U0001F600" .',
+        '<http://ex/e> <http://ex/p> "keep\\\\nliteral" .',
+        '<http://ex/f> <http://ex/p> "bad\\uZZZZ escape" .',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    got = {r["subj"]: r["obj"] for r in parse_ntriples(df).collect()}
+    assert got["http://ex/a"] == "line1\nline2"
+    assert got["http://ex/b"] == "tab\there"
+    assert got["http://ex/c"] == "café"
+    assert got["http://ex/d"] == "big\U0001F600"
+    assert got["http://ex/e"] == "keep\\nliteral"  # escaped backslash + n
+    assert "http://ex/f" not in got  # malformed \\u dropped, job survives

@@ -92,3 +92,32 @@ def test_pipeline_directed_counts_normalization(spark, world):
     assert stats["mn"] >= 1.0 - 1e-9
     assert stats["mx"] <= 1000.0 + 1e-6
     assert stats["roots"] == 0
+
+
+def test_resume_after_convergence_is_noop(spark, world, tmp_path):
+    """A run whose training hit the tolerance break must NOT retrain (and
+    must not rewrite the export) when resumed — the convergence marker is
+    as final as maxiter."""
+    import os
+
+    work = str(tmp_path / "work")
+    pages = web_pages_df(spark, world, 60, partitions=2)
+    cfg = _cfg(opt=OptConfig(method="adagrad", tolerance=1e9, maxiter=8))
+    res1 = run_pipeline(
+        spark, pages, alias_dict_df(spark, world), sorted(world.alias_map),
+        cfg, work_dir=work, resume=True, train=True, n_shards=2, batch=256,
+    )
+    assert 0 < len(res1.cost_history) < 8  # tolerance break fired early
+    export_done = os.path.join(work, "export", "_DONE")
+    assert os.path.exists(export_done)
+    stamp = os.path.getmtime(export_done)
+
+    res2 = run_pipeline(
+        spark, pages, alias_dict_df(spark, world), sorted(world.alias_map),
+        cfg, work_dir=work, resume=True, train=True, n_shards=2, batch=256,
+    )
+    assert res2.cost_history == []  # zero new epochs
+    assert os.path.getmtime(export_done) == stamp  # export untouched
+    a = {r["node_id"]: list(r["vec"]) for r in res1.embeddings.collect()}
+    b = {r["node_id"]: list(r["vec"]) for r in res2.embeddings.collect()}
+    assert a == b

@@ -406,3 +406,16 @@ def test_rdfxml_li_inside_parse_type_resource():
     anon = [o for s, p, o, k in got if p == EX + "p"][0]
     members = {(p, o) for s, p, o, k in got if s == anon}
     assert members == {(RDF_NS + "_1", "a"), (RDF_NS + "_2", "b")}
+
+
+def test_resolve_iri_query_references():
+    """RFC3986 §5.3: a query-only reference keeps the base PATH; a path
+    reference drops the base's query/fragment (and a '/' inside the query
+    must not be mistaken for a path slash)."""
+    from graph_embeddings_spark.sources._distribute import resolve_iri
+
+    assert resolve_iri("?q", "http://a/b/c") == "http://a/b/c?q"
+    assert resolve_iri("?q=2", "http://a/b/c?q=1") == "http://a/b/c?q=2"
+    assert resolve_iri("rel", "http://a/b/c?x=1") == "http://a/b/rel"
+    assert resolve_iri("rel", "http://a/b?x=/y") == "http://a/rel"
+    assert resolve_iri("rel", "http://a/b/c#frag") == "http://a/b/rel"
