@@ -735,31 +735,11 @@ def q_bca_cooc(spark, sf_dir):
 
 def q_glove_train_smoke(spark, sf_dir):
     """T1-T7: two AdaGrad epochs over an events-derived co-occurrence."""
-    from graph_embeddings_spark.glove.train import extract_embeddings, optimize
-
-    ev = _t(spark, sf_dir, "events")
-    types = ev.select("event_type").distinct().orderBy("event_type")
-    tmap = types.withColumn("tid", F.row_number().over(Window.orderBy("event_type")) + 9999)
-    cooc = (
-        ev.join(tmap, "event_type")
-        .groupBy(F.col("user_id").alias("i"), F.col("tid").cast("long").alias("j"))
-        .agg(F.count("*").cast("double").alias("x"))
-    )
-    nodes = (
-        cooc.select(F.col("i").alias("node_id"))
-        .union(cooc.select(F.col("j")))
-        .distinct()
-    )
-    mx = cooc.agg(F.max("x")).collect()[0][0]
-    res = optimize(
-        cooc, nodes, dim=8, co_count=cooc.count(), max_x=float(mx),
-        maxiter=2, tolerance=0.0, seed=42, n_shards=4, batch=1024,
-    )
-    return extract_embeddings(res.params).select("node_id", F.size("vec").alias("dim"))
+    return _glove_smoke(spark, sf_dir, method="adagrad", cost="glove")
 
 
 def _glove_smoke(spark, sf_dir, method: str, cost: str):
-    """Shared harness for optimizer/cost-variant smokes (T3/T5/T6): two
+    """Shared harness for optimizer/cost-variant smokes (T1-T7): two
     epochs over an events-derived co-occurrence, rows-only check."""
     from graph_embeddings_spark.glove.train import extract_embeddings, optimize
 
@@ -773,6 +753,12 @@ def _glove_smoke(spark, sf_dir, method: str, cost: str):
         .groupBy(F.col("user_id").alias("i"), F.col("tid").cast("long").alias("j"))
         .agg(F.count("*").cast("double").alias("x"))
     )
+    if cost == "pglove":
+        # the logit link needs probabilities: unity-normalize per focus
+        # node (the reference pairs pglove with BCA unity normalization the
+        # same way) — raw counts would train NaN into every touched row
+        w = Window.partitionBy("i")
+        cooc = cooc.withColumn("x", F.col("x") / F.sum("x").over(w) * (1.0 - 1e-6))
     nodes = (
         cooc.select(F.col("i").alias("node_id"))
         .union(cooc.select(F.col("j")))

@@ -6,12 +6,17 @@
 
 Env knobs:
     SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
-    SPARK_GRAFT_CPUS     local[N] cores (default 32)
+    SPARK_GRAFT_CPUS     local[N] cores (default 32, clamped by
+                         session.effective_cores)
     SPARK_GRAFT_PAGES    synthetic corpus size for the pipeline section
-                         (default 20000)
-    SPARK_GRAFT_SCALING  "1" -> also run the pipeline section at local[8]
-                         and local[32] in fresh subprocesses and report
-                         scaling efficiency (writes BENCH/BASELINE.md)
+                         (default 100000 — BENCH/BASELINE.md's scale)
+    SPARK_GRAFT_SCALING  "1" -> ALSO run the full pipeline section at
+                         local[2] and local[8] child JVMs and report
+                         triples/sec scaling efficiency
+
+Always included (no flag): the GloVe-epoch scaling evidence — two child
+JVMs train a compute-dominated 8M-entry synthetic cooc at 2 and 8 cores
+(the north rule's N-vs-4N stand-in; see BENCH/GLOVE_SCALING.md).
 
 Timings use a noop-format write to force full evaluation without driver
 collection (count() would let Catalyst prune computed columns).

@@ -119,6 +119,14 @@ class PipelineConfig:
             raise ValueError(f"unknown optimizer {self.opt.method}")
         if not self.output.enabled_types():
             raise ValueError("at least one output group must be enabled")
+        for g in self.similarity or ():
+            # a group without a predicate can never match anything — reject
+            # at load time like the reference's bean binding would
+            if not g.source_predicate or not g.target_predicate:
+                raise ValueError(
+                    "similarity group needs sourcePredicate/predicate "
+                    f"(got source={g.source_predicate!r} target={g.target_predicate!r})"
+                )
 
 
 def load_config(path: str) -> PipelineConfig:
@@ -153,10 +161,14 @@ def load_config(path: str) -> PipelineConfig:
         )
         for g in raw.get("similarity", []) or []
     ]
+    # a declared `pca:` block ENABLES the reduction even when empty/null
+    # (`pca:` / `pca: {}`); variance falls back to PcaConfig's default —
+    # pca_raw["variance"] would KeyError and `or None` silently disabled it
+    pca_enabled = "pca" in raw
+    pca_raw = raw.get("pca") or {}
     bca_raw = raw.get("bca", {}) or {}
     opt_raw = raw.get("opt", {}) or {}
     out_raw = raw.get("output", {}) or {}
-    pca_raw = raw.get("pca") or None
     cfg = PipelineConfig(
         graph=raw.get("graph", ""),
         method=(raw.get("method", GLOVE) or GLOVE).lower(),
@@ -183,7 +195,8 @@ def load_config(path: str) -> PipelineConfig:
             literal=out_raw.get("literal"),
             predicate=out_raw.get("predicate"),
         ),
-        pca=PcaConfig(variance=float(pca_raw["variance"])) if pca_raw else None,
+        pca=PcaConfig(variance=float(pca_raw.get("variance", PcaConfig.variance)))
+        if pca_enabled else None,
     )
     cfg.check()
     return cfg

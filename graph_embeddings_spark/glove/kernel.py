@@ -97,6 +97,14 @@ def inner_and_weight(method: str, x: np.ndarray, dots: np.ndarray, bf: np.ndarra
         inner = dots + bf + bc - np.log(x)
         w = np.where(x > max_x, 1.0, np.power(x / max_x, 0.75))
     elif method == "pglove":
+        # logit link: defined only for probabilities. BCA unity
+        # normalization produces (0,1) by construction (A5); raw counts
+        # here would silently train NaN/inf into every touched row
+        if x.size and (np.min(x) <= 0.0 or np.max(x) >= 1.0):
+            raise ValueError(
+                "pglove cost needs x in (0,1) — BCA probabilities "
+                "(normalize='unity'), not raw co-occurrence counts"
+            )
         inner = dots + bf + bc - np.log(x / (1.0 - x))
         w = x
     else:

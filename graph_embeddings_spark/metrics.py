@@ -33,9 +33,7 @@ def pairwise_cosine(emb_a: DataFrame, emb_b: DataFrame) -> DataFrame:
     return a.crossJoin(b).select("a", "b", cosine_expr(F.col("_va"), F.col("_vb")).alias("cos"))
 
 
-def cosine_neighbor_rank(
-    embeddings: DataFrame, pairs: DataFrame, sample_negatives: int = 0
-) -> DataFrame:
+def cosine_neighbor_rank(embeddings: DataFrame, pairs: DataFrame) -> DataFrame:
     """pairs(a, b) -> (a, b, rank) where rank = position of b among ALL other
     nodes by cosine to a (1 = nearest). Intended for small probe sets: the
     probe side is `pairs`' distinct a's, the candidate side is the full
@@ -63,19 +61,37 @@ def link_prediction_auc(
     embeddings: DataFrame, edges: DataFrame, neg_per_pos: int = 1, seed: int = 42
 ) -> float:
     """AUC of cosine scores separating true (src, dst) edges from random
-    negatives. Negatives are seeded-hash pairs (src, perm(dst)) — pure
-    column ops, deterministic. AUC via rank-sum: one global sort, no
-    pairwise compare."""
+    negatives — deterministic seeded-hash sampling, rank-sum (Mann-Whitney)
+    with MIDRANKS for ties, one global sort, no pairwise compare.
+
+    Negatives are drawn from the embedding table's ACTUAL node ids (hash
+    into a dense index, join back) — hashing into [0, n) directly assumes
+    contiguous ids and silently drops every negative on filtered/offset
+    tables. Sampled self-pairs and accidental true edges are removed (both
+    would be positives mislabeled 0, biasing AUC down)."""
     emb = embeddings.select("node_id", "vec")
-    n = emb.count()
+    # dense index over whatever ids actually exist (probe-scale metric: the
+    # single-partition window is fine at test sizes; at corpus scale use
+    # the id dictionary that materialize_graph already maintains)
+    indexed = emb.select("node_id").withColumn(
+        "_idx", F.row_number().over(Window.orderBy("node_id")) - 1
+    )
+    n = indexed.count()
     pos = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"), F.lit(1).alias("y"))
     neg = (
         edges.select("src", "dst")
         .withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(neg_per_pos - 1))))
         .select(
             F.col("src").alias("a"),
-            F.pmod(F.xxhash64("src", "dst", F.col("_r"), F.lit(seed)), F.lit(n)).alias("b"),
+            F.pmod(F.xxhash64("src", "dst", F.col("_r"), F.lit(seed)), F.lit(n)).alias("_idx"),
             F.lit(0).alias("y"),
+        )
+        .join(indexed, "_idx")
+        .select("a", F.col("node_id").alias("b"), "y")
+        .filter(F.col("a") != F.col("b"))
+        .join(
+            edges.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+            ["a", "b"], "left_anti",
         )
     )
     both = pos.unionByName(neg)
@@ -84,7 +100,10 @@ def link_prediction_auc(
     scored = both.join(va, "a").join(vb, "b").select(
         "y", cosine_expr(F.col("_va"), F.col("_vb")).alias("s")
     )
-    ranked = scored.withColumn("r", F.row_number().over(Window.orderBy("s")))
+    ranked = scored.withColumn("_rn", F.row_number().over(Window.orderBy("s")))
+    # midrank: ties share the mean of their row numbers (Mann-Whitney's
+    # tie correction; raw row_number order within a tie is arbitrary)
+    ranked = ranked.withColumn("r", F.avg("_rn").over(Window.partitionBy("s")))
     agg = ranked.groupBy("y").agg(F.sum("r").alias("rs"), F.count("*").alias("n")).collect()
     stats = {r["y"]: (r["rs"], r["n"]) for r in agg}
     if 1 not in stats or 0 not in stats:

@@ -199,3 +199,24 @@ def test_load_config_reference_shipped_schema(tmp_path):
     assert cfg.bca.directed is True
     assert cfg.output.uri == ["http://dblp.l3s.de/d2r/resource/authors/"]
     assert cfg.pca is not None and cfg.pca.variance == 0.95
+
+
+def test_load_config_pca_defaults(tmp_path):
+    """A declared pca block without variance uses the 0.95 default; an
+    empty/null block still ENABLES the reduction; a similarity group
+    without a predicate is rejected at load time."""
+    import pytest
+
+    from graph_embeddings_spark.config import load_config
+
+    base = "graph: g.ttl\ndim: 4\noutput:\n  uri: []\n"
+    p1 = tmp_path / "a.yml"
+    p1.write_text(base + "pca:\n  enabled: true\n")
+    assert load_config(str(p1)).pca.variance == 0.95
+    p2 = tmp_path / "b.yml"
+    p2.write_text(base + "pca:\n")
+    assert load_config(str(p2)).pca is not None
+    p3 = tmp_path / "c.yml"
+    p3.write_text(base + "similarity:\n  - method: token_jaccard\n    threshold: 0.6\n")
+    with pytest.raises(ValueError, match="sourcePredicate"):
+        load_config(str(p3))

@@ -387,3 +387,19 @@ def test_convergence_marker_and_final_cost(spark, tmp_path):
     )
     assert res2.final_cost == pytest.approx(res2.cost_history[-1])
     assert res2.final_cost > 0.0
+
+
+def test_pglove_rejects_out_of_domain_x():
+    """The logit link is undefined for x >= 1: raw counts must raise, not
+    silently train NaN into every touched row."""
+    import numpy as np
+
+    from graph_embeddings_spark.glove.kernel import inner_and_weight
+
+    z = np.zeros(1)
+    with pytest.raises(ValueError, match="pglove"):
+        inner_and_weight("pglove", np.array([1.0]), z, z, z, max_x=1.0)
+    with pytest.raises(ValueError, match="pglove"):
+        inner_and_weight("pglove", np.array([3.0]), z, z, z, max_x=1.0)
+    inner, w = inner_and_weight("pglove", np.array([0.5]), z, z, z, max_x=1.0)
+    assert np.isfinite(inner).all()
