@@ -512,6 +512,19 @@ def q_f2_f3_output_filter(spark, sf_dir):
 # Training-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+def q_dedup_components(spark, sf_dir):
+    """Cluster resolution over the ngram-jaccard pair graph: doc ->
+    canonical representative (= component min id) via alternating
+    Large-Star/Small-Star — the step that turns dedup PAIRS into a usable
+    keep/drop mapping when near-dups chain. ORACLE: DuckDB recursive CTE
+    computing min reachable id over the identical pair relation."""
+    from graph_embeddings_spark.datapipe.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6, k=3)
+    return connected_components(pairs).select("id", "component")
+
+
 def q_dedup_exact(spark, sf_dir):
     from graph_embeddings_spark.datapipe.dedup import exact_dedup
 
@@ -859,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_parse_hdt": q_s1_parse_hdt,
         "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1234,6 +1248,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "dedup_components": """
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM documents WHERE doc_id < 100
+            ), sh AS (
+                SELECT DISTINCT doc_id, substring(t, g, 3) AS sh
+                FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
+                      FROM norm WHERE length(t) >= 3)
+            ), sizes AS (
+                SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1
+            ), inter AS (
+                SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS inter
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), pairs AS (
+                SELECT i.a, i.b FROM inter i
+                JOIN sizes sa ON i.a = sa.doc_id
+                JOIN sizes sb ON i.b = sb.doc_id
+                WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= 0.6
+            ), sym AS (
+                SELECT a AS u, b AS v FROM pairs UNION SELECT b, a FROM pairs
+            ), reach(node, lab) AS (
+                SELECT u, u FROM sym
+                UNION
+                SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node
+            )
+            SELECT node AS id, min(lab) AS component FROM reach GROUP BY node
         """,
         "dedup_ngram_jaccard": """
             WITH norm AS (

@@ -333,3 +333,57 @@ def test_lsh_topk_bands_must_divide_planes(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="divide"):
         lsh_topk(df, df, k=2, n_planes=8, bands=3, dim=4)
+
+
+def _brute_components(edges):
+    """Python union-find oracle."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_shapes(spark):
+    """Chain (diameter > round count of naive propagation), two components,
+    ties, reversed edges."""
+    from graph_embeddings_spark.datapipe.dedup import connected_components
+
+    edges = [(2, 1), (2, 3), (4, 3), (5, 4), (10, 11), (12, 11), (20, 20)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Seeded random graph parity vs a driver-side union-find."""
+    import random
+
+    from graph_embeddings_spark.datapipe.dedup import connected_components
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == _brute_components(edges)
+
+
+def test_connected_components_long_chain(spark):
+    """A 120-node path: component min must reach the far end (log-round
+    star contraction, not diameter-bound propagation)."""
+    from graph_embeddings_spark.datapipe.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(120)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["id"]: r["component"] for r in connected_components(df, max_rounds=12).collect()}
+    assert set(got.values()) == {0} and len(got) == 121
