@@ -512,6 +512,26 @@ def q_f2_f3_output_filter(spark, sf_dir):
 # Training-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (training-data mixture
+    curation): keep iff Knuth-hash(doc_id) < fraction[lang]. Pure integer
+    arithmetic — the oracle reproduces the exact selection."""
+    from graph_embeddings_spark.datapipe.sample import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    picked = sample_stratified(docs, {"en": 0.5, "de": 0.25, "fr": 0.1}, seed=42)
+    return picked.select("doc_id", "lang")
+
+
+def q_sample_n_per_stratum(spark, sf_dir):
+    """Exact-count deterministic sample: the 12 smallest-hash docs per
+    language — a reproducible random permutation, identical in DuckDB."""
+    from graph_embeddings_spark.datapipe.sample import sample_n_per_stratum
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_n_per_stratum(docs, 12, seed=7).select("doc_id", "lang")
+
+
 def q_dedup_components(spark, sf_dir):
     """Cluster resolution over the ngram-jaccard pair graph: doc ->
     canonical representative (= component min id) via alternating
@@ -873,6 +893,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "sample_stratified": q_sample_stratified,
+        "sample_n_per_stratum": q_sample_n_per_stratum,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1248,6 +1270,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST((((doc_id * 2654435761 + 42) % 2147483648) * 2654435761)
+                       % 2147483647 AS DOUBLE) / 2147483647.0
+                  < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                              WHEN 'fr' THEN 0.1 ELSE 0.0 END
+        """,
+        "sample_n_per_stratum": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (((doc_id * 2654435761 + 7) % 2147483648)
+                                     * 2654435761) % 2147483647, doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 12
         """,
         "dedup_components": """
             WITH RECURSIVE norm AS (

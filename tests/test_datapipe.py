@@ -387,3 +387,39 @@ def test_connected_components_long_chain(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r["id"]: r["component"] for r in connected_components(df, max_rounds=12).collect()}
     assert set(got.values()) == {0} and len(got) == 121
+
+
+def test_sample_stratified_deterministic(spark):
+    """Fraction sampling: engine-reproducible (partitioning-independent),
+    approximately proportional, and strata without a fraction are dropped."""
+    from graph_embeddings_spark.datapipe.sample import sample_stratified
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(3000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    picked = sample_stratified(docs, {"en": 0.5, "de": 0.1}, seed=42)
+    got = {r["doc_id"] for r in picked.collect()}
+    # re-partitioned rerun selects the SAME rows
+    got2 = {
+        r["doc_id"]
+        for r in sample_stratified(docs.repartition(7), {"en": 0.5, "de": 0.1}, seed=42).collect()
+    }
+    assert got == got2
+    by_lang = {r["lang"]: r["n"] for r in picked.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert "zh" not in by_lang
+    assert abs(by_lang["en"] / 1000 - 0.5) < 0.08
+    assert abs(by_lang["de"] / 1000 - 0.1) < 0.05
+
+
+def test_sample_n_per_stratum_exact_counts(spark):
+    from graph_embeddings_spark.datapipe.sample import sample_n_per_stratum
+
+    rows = [(i, ["en", "de"][i % 2]) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    picked = sample_n_per_stratum(docs, 25, seed=7)
+    counts = {r["lang"]: r["n"] for r in picked.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 25, "de": 25}
+    # seed changes the selection; same seed is stable across partitionings
+    a = {r["doc_id"] for r in picked.collect()}
+    b = {r["doc_id"] for r in sample_n_per_stratum(docs.repartition(5), 25, seed=7).collect()}
+    c = {r["doc_id"] for r in sample_n_per_stratum(docs, 25, seed=8).collect()}
+    assert a == b and a != c
