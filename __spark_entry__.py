@@ -512,6 +512,44 @@ def q_f2_f3_output_filter(spark, sf_dir):
 # Training-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails/IPv4/phones -> typed placeholders) over a
+    deterministic synthetic PII overlay on the documents table — pure
+    regexp_replace chain in the Java∩RE2 dialect so DuckDB replays it."""
+    from graph_embeddings_spark.datapipe.scrub import pii_scrub_col
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), F.col("doc_id").cast("string"),
+            F.lit(".7 or +1 555-000-"), F.format_string("%04d", F.col("doc_id")),
+        ).alias("text"),
+    )
+    return dirty.select("doc_id", pii_scrub_col(F.col("text")).alias("text"))
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """CCNet/C4-style line-level dedup across documents: drop lines present
+    in > max_df distinct docs, reassemble survivors in original order."""
+    from graph_embeddings_spark.datapipe.scrub import remove_boilerplate_lines
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # synthetic boilerplate overlay: a shared banner on every doc + the
+    # real text split over two lines
+    layered = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER ACCEPT\n"),
+            F.substring("text", 1, 40), F.lit("\n"),
+            F.substring("text", 41, 10000),
+            F.lit("\nCopyright Example Corp"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(layered, max_df=20)
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-language Bernoulli sample (training-data mixture
     curation): keep iff Knuth-hash(doc_id) < fraction[lang]. Pure integer
@@ -893,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "pii_scrub": q_pii_scrub,
+        "boilerplate_lines": q_boilerplate_lines,
         "sample_stratified": q_sample_stratified,
         "sample_n_per_stratum": q_sample_n_per_stratum,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1270,6 +1310,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "pii_scrub": """
+            WITH dirty AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 10.0.' || CAST(doc_id AS VARCHAR)
+                            || '.7 or +1 555-000-' || printf('%04d', doc_id) AS text
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+                       '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS text
+            FROM dirty
+        """,
+        "boilerplate_lines": """
+            WITH layered AS (
+                SELECT doc_id,
+                       'COOKIE BANNER ACCEPT' || chr(10)
+                       || substring(text, 1, 40) || chr(10)
+                       || substring(text, 41, 10000)
+                       || chr(10) || 'Copyright Example Corp' AS text
+                FROM documents WHERE doc_id < 200
+            ), lines AS (
+                SELECT doc_id, g AS pos,
+                       list_extract(string_split(text, chr(10)), g) AS line
+                FROM (SELECT doc_id, text,
+                             unnest(generate_series(1, len(string_split(text, chr(10))))) AS g
+                      FROM layered)
+            ), bp AS (
+                SELECT trim(line) AS t FROM lines
+                GROUP BY 1 HAVING count(DISTINCT doc_id) > 20
+            ), kept AS (
+                SELECT l.doc_id, l.pos, l.line FROM lines l
+                LEFT JOIN bp ON trim(l.line) = bp.t
+                WHERE bp.t IS NULL
+            )
+            SELECT d.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS text
+            FROM layered d LEFT JOIN kept k ON d.doc_id = k.doc_id
+            GROUP BY d.doc_id
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

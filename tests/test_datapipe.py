@@ -423,3 +423,31 @@ def test_sample_n_per_stratum_exact_counts(spark):
     b = {r["doc_id"] for r in sample_n_per_stratum(docs.repartition(5), 25, seed=7).collect()}
     c = {r["doc_id"] for r in sample_n_per_stratum(docs, 25, seed=8).collect()}
     assert a == b and a != c
+
+
+def test_pii_scrub_hand_cases(spark):
+    from graph_embeddings_spark.datapipe.scrub import pii_scrub
+
+    rows = [
+        (0, "mail me at jane.doe+x@sub.example.org today"),
+        (1, "server 192.168.0.1 and phone +31 20 123 4567 ok"),
+        (2, "no pii here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in pii_scrub(docs).collect()}
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "server <IP> and phone <PHONE> ok"
+    assert got[2] == "no pii here"
+
+
+def test_remove_boilerplate_lines(spark):
+    from graph_embeddings_spark.datapipe.scrub import remove_boilerplate_lines
+
+    banner = "ACCEPT COOKIES"
+    rows = [(i, f"{banner}\nunique line {i}\nsecond {i}") for i in range(10)]
+    rows.append((99, banner))  # all-boilerplate doc
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in remove_boilerplate_lines(docs, max_df=5).collect()}
+    assert len(got) == 11
+    assert got[3] == "unique line 3\nsecond 3"  # order preserved, banner gone
+    assert got[99] == ""  # kept as empty, downstream length filter decides
