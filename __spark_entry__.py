@@ -512,6 +512,17 @@ def q_f2_f3_output_filter(spark, sf_dir):
 # Training-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+def q_pack_assignments(spark, sf_dir):
+    """Pretraining sequence packing (concat-and-chunk): per document, its
+    start offset in the hash-permuted concatenated token stream and the
+    2048-token windows it straddles. Ordering + prefix sum only — the
+    oracle reproduces the assignment exactly."""
+    from graph_embeddings_spark.datapipe.pack import pack_assignments
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_assignments(docs, capacity=2048, seed=42)
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction (emails/IPv4/phones -> typed placeholders) over a
     deterministic synthetic PII overlay on the documents table — pure
@@ -931,6 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "pack_assignments": q_pack_assignments,
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
         "sample_stratified": q_sample_stratified,
@@ -1310,6 +1322,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "pack_assignments": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                       END AS n_tokens,
+                       (((doc_id * 2654435761 + 42) % 2147483648) * 2654435761)
+                           % 2147483647 AS h
+                FROM documents
+            ), cum AS (
+                SELECT doc_id, n_tokens,
+                       sum(n_tokens) OVER (ORDER BY h, doc_id) AS e
+                FROM keyed
+            )
+            SELECT doc_id, n_tokens,
+                   e - n_tokens AS start_offset,
+                   CAST(floor((e - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
+                   CAST(floor(greatest(e - 1, e - n_tokens) / 2048.0) AS BIGINT) AS chunk_last
+            FROM cum
         """,
         "pii_scrub": """
             WITH dirty AS (

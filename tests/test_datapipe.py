@@ -451,3 +451,27 @@ def test_remove_boilerplate_lines(spark):
     assert len(got) == 11
     assert got[3] == "unique line 3\nsecond 3"  # order preserved, banner gone
     assert got[99] == ""  # kept as empty, downstream length filter decides
+
+
+def test_pack_assignments_invariants(spark):
+    """Concat-and-chunk packing: offsets tile the stream exactly, chunks
+    are consistent with offsets, and the assignment is partitioning-
+    independent (deterministic hash permutation)."""
+    from graph_embeddings_spark.datapipe.pack import pack_assignments
+
+    rows = [(i, " ".join(["tok"] * (5 + (i * 13) % 90))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_assignments(docs, capacity=64, seed=42).collect()
+    by_off = sorted(out, key=lambda r: r["start_offset"])
+    pos = 0
+    for r in by_off:
+        assert r["start_offset"] == pos  # gap-free tiling
+        assert r["chunk_first"] == pos // 64
+        end = max(pos + r["n_tokens"] - 1, pos)
+        assert r["chunk_last"] == end // 64
+        pos += r["n_tokens"]
+    again = {
+        r["doc_id"]: r["start_offset"]
+        for r in pack_assignments(docs.repartition(7), capacity=64, seed=42).collect()
+    }
+    assert again == {r["doc_id"]: r["start_offset"] for r in out}
