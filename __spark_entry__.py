@@ -1329,7 +1329,7 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
                        END AS n_tokens,
-                       (((doc_id * 2654435761 + 42) % 2147483648) * 2654435761)
+                       ((((doc_id % 2147483647) * 2654435761 + 42) % 2147483648) * 2654435761)
                            % 2147483647 AS h
                 FROM documents
             ), cum AS (
@@ -1390,7 +1390,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
-            WHERE CAST((((doc_id * 2654435761 + 42) % 2147483648) * 2654435761)
+            WHERE CAST(((((doc_id % 2147483647) * 2654435761 + 42) % 2147483648) * 2654435761)
                        % 2147483647 AS DOUBLE) / 2147483647.0
                   < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
                               WHEN 'fr' THEN 0.1 ELSE 0.0 END
@@ -1400,7 +1400,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, lang,
                        row_number() OVER (
                            PARTITION BY lang
-                           ORDER BY (((doc_id * 2654435761 + 7) % 2147483648)
+                           ORDER BY ((((doc_id % 2147483647) * 2654435761 + 7) % 2147483648)
                                      * 2654435761) % 2147483647, doc_id
                        ) AS rk
                 FROM documents

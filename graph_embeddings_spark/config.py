@@ -117,6 +117,13 @@ class PipelineConfig:
             raise ValueError("bca alpha/epsilon must be positive")
         if self.opt.method not in (ADAGRAD, ADAM, AMSGRAD):
             raise ValueError(f"unknown optimizer {self.opt.method}")
+        if self.method == PGLOVE and self.bca.normalize == NORM_COUNTS:
+            # the logit link consumes probabilities. BCA paint (none) and
+            # unity normalization live in (0,1] — fine — but counts
+            # normalization maps to [1,1000] (BCV.java:89-91), entirely
+            # outside the pglove domain: reject at load time instead of
+            # failing the kernel's domain guard mid-job
+            raise ValueError("method pglove cannot use bca.normalize: counts")
         if not self.output.enabled_types():
             raise ValueError("at least one output group must be enabled")
         for g in self.similarity or ():

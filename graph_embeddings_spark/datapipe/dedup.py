@@ -546,6 +546,14 @@ def connected_components(
         if now == prev:
             break
         prev = now
+    else:
+        # falling out of the loop without the fixpoint means the mapping
+        # below would be WRONG (split components) — never return it
+        # silently ('no silent caps'); O(log^2 n) convergence makes 25
+        # rounds enough for any real graph, so this is a config error
+        raise ValueError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
     comp = cur.select(F.col("u").alias("id"), F.col("v").alias("component"))
     roots = (
         cur.select(F.col("v").alias("id")).distinct()

@@ -29,8 +29,12 @@ _M2 = 2147483647  # 2^31 - 1 (prime) — different modulus makes the chain
 def _unit_hash(id_col, seed: int):
     """[0, 1) hash of an integer id — plain * and % so any SQL engine
     reproduces it exactly, and distinct seeds give genuinely different
-    permutations."""
-    h1 = F.pmod(id_col.cast("long") * F.lit(_KNUTH) + F.lit(seed), F.lit(_M1))
+    permutations. The id is reduced mod 2^31-1 BEFORE the multiply: the
+    raw product overflows int64 (ANSI abort) once id exceeds ~3.47e9,
+    well inside a 10^12-row corpus. Ids differing by a multiple of
+    2^31-1 share a hash — unavoidable in a 31-bit output."""
+    h0 = F.pmod(id_col.cast("long"), F.lit(_M2))
+    h1 = F.pmod(h0 * F.lit(_KNUTH) + F.lit(seed), F.lit(_M1))
     return F.pmod(h1 * F.lit(_KNUTH), F.lit(_M2)) / F.lit(float(_M2))
 
 

@@ -44,32 +44,48 @@ def _doc_lines(docs: DataFrame, text_col: str):
     )
 
 
+def _bp_from_lines(lines: DataFrame, max_df: int) -> DataFrame:
+    """(doc_id, _t trimmed line) -> trimmed lines in > max_df distinct docs."""
+    return (
+        lines.groupBy("_t")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
+    )
+
+
 def boilerplate_lines(
     docs: DataFrame, max_df: int, text_col: str = "text"
 ) -> DataFrame:
     """-> (line, n_docs) for trimmed lines present in more than max_df
     DISTINCT documents."""
     lines = _doc_lines(docs, text_col).select(
-        "doc_id", F.trim(F.col("line")).alias("line")
+        "doc_id", F.trim(F.col("line")).alias("_t")
     )
-    return (
-        lines.groupBy("line")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") > max_df)
-    )
+    return _bp_from_lines(lines, max_df).select(F.col("_t").alias("line"), "n_docs")
 
 
 def remove_boilerplate_lines(
-    docs: DataFrame, max_df: int, text_col: str = "text"
+    docs: DataFrame, max_df: int, text_col: str = "text",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Drop every line whose trimmed form appears in more than max_df
     distinct documents; reassemble the survivors in original order.
     Documents whose every line is boilerplate come back as empty text
     (kept, so downstream length filters make the drop decision)."""
-    lines = _doc_lines(docs, text_col).withColumn("_t", F.trim(F.col("line")))
-    bp = boilerplate_lines(docs, max_df, text_col).select(
-        F.col("line").alias("_t"), F.lit(True).alias("_bp")
+    from pyspark import StorageLevel
+
+    # ONE explode: the doc-frequency counts derive from the same PERSISTED
+    # line relation the anti-join consumes (without the persist, Catalyst
+    # evaluates the split+posexplode subtree once per consumer — doubling
+    # the dominant scan at corpus scale)
+    lines = (
+        _doc_lines(docs, text_col)
+        .withColumn("_t", F.trim(F.col("line")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(lines)
+    bp = _bp_from_lines(lines.select("doc_id", "_t"), max_df).select("_t")
     kept = lines.join(bp, "_t", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(

@@ -98,7 +98,11 @@ def extract_surface_triples(
     pattern = alias_regex(aliases)
     if min_parallelism is None:
         min_parallelism = pages_df.sparkSession.sparkContext.defaultParallelism
-    out_schema = SURFACE_TRIPLES_SCHEMA + (f", {ts_col} timestamp" if ts_col else "")
+    # ts_col keeps ITS OWN input type — hardcoding 'timestamp' would break
+    # (or silently reinterpret) a long epoch-seconds column at the Arrow
+    # boundary
+    ts_type = pages_df.schema[ts_col].dataType.simpleString() if ts_col else ""
+    out_schema = SURFACE_TRIPLES_SCHEMA + (f", {ts_col} {ts_type}" if ts_col else "")
 
     def scan(batches):
         for pdf in batches:

@@ -687,8 +687,34 @@ def optimize(
     average -> cost/tolerance check. Pass checkpoint_dir to write params per
     epoch (parquet) — `resume_params` reloads them for mid-run resume."""
     spark = cooc.sparkSession
+    if cost == "pglove":
+        # boundary artifacts of LEGITIMATE inputs fall outside the logit
+        # domain: unity normalization's -1e-6 floor can give x <= 0, and
+        # raw BCA paint can give exactly 1.0 (isolated root). Drop exactly
+        # those (documented) rather than NaN every touched row like the
+        # reference would. Deliberately NOT `x < 1`: genuinely wrong
+        # inputs (counts normalization, values in (1,1000]) must still
+        # reach the kernel's loud domain guard, not vanish silently
+        cooc = cooc.filter((F.col("x") > 0.0) & (F.col("x") != 1.0))
     if n_shards is None:
         n_shards = shards_for(co_count)
+    # a RETRAIN over an old checkpoint dir must clear the previous run's
+    # state at-and-above the restart epoch — otherwise a crash mid-retrain
+    # leaves a stale convergence marker and stale high-epoch params that a
+    # later resume would mistake for THIS run's finished result
+    if checkpoint_dir is not None:
+        import os
+        import shutil
+
+        prior = converged_epoch(checkpoint_dir)
+        if prior is not None and start_epoch <= prior:
+            os.remove(os.path.join(checkpoint_dir, "_CONVERGED"))
+        for ep in find_completed_epochs(checkpoint_dir):
+            if ep >= start_epoch:
+                shutil.rmtree(
+                    os.path.join(checkpoint_dir, f"params_epoch={ep:04d}"),
+                    ignore_errors=True,
+                )
     params = start_params if start_params is not None else init_params_df(nodes, dim, seed, method)
     # stable hash-partitioning on node_id, maintained across epochs: the
     # per-epoch touched-params join and the combine-result join then only

@@ -28,25 +28,25 @@ def resolve_iri(iri: str, base: str) -> str:
         # query-only reference KEEPS the base path (RFC3986 §5.3), it does
         # not replace the last segment: 'http://a/b/c' + '?q' -> '.../c?q'
         return base.split("#", 1)[0].split("?", 1)[0] + iri
-    scheme_end = base.find("://")
+    # every path-type reference drops the base's query/fragment — and a
+    # '/' inside them must not be mistaken for a path slash
+    stripped0 = base.split("#", 1)[0].split("?", 1)[0]
+    scheme_end = stripped0.find("://")
     if iri.startswith("//"):
         return (base[: base.find(":")] + ":" + iri) if ":" in base else iri
     if iri.startswith("/"):
         if scheme_end != -1:
-            auth_end = base.find("/", scheme_end + 3)
-            root = base if auth_end == -1 else base[:auth_end]
+            auth_end = stripped0.find("/", scheme_end + 3)
+            root = stripped0 if auth_end == -1 else stripped0[:auth_end]
             return root + iri
         return iri
-    # relative path: drop the base's last path segment. The base's query/
-    # fragment never survive a path reference — strip them first (also
-    # keeps a '/' inside the query from being mistaken for a path slash)
-    stripped = base.split("#", 1)[0].split("?", 1)[0]
-    scheme_end = stripped.find("://")
+    # relative path: drop the base's last path segment (of the already
+    # query/fragment-stripped base)
     path_start = scheme_end + 3 if scheme_end != -1 else 0
-    slash = stripped.rfind("/")
+    slash = stripped0.rfind("/")
     if slash < path_start or (scheme_end != -1 and slash == scheme_end + 2):
-        return stripped + "/" + iri
-    return stripped[: slash + 1] + iri
+        return stripped0 + "/" + iri
+    return stripped0[: slash + 1] + iri
 
 
 def parse_files_distributed(

@@ -117,13 +117,27 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
     return plain.unionByName(decoded)
 
 
+# a backslash not starting a valid ECHAR/UCHAR escape; computed by
+# deleting every VALID escape and checking whether a backslash remains
+_VALID_ESC_RE = r"\\(?:[tbnrf\"'\\]|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
+
+
 def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:
-    """Lines that are neither parseable, comments, nor blank — the
-    no-silent-drops report."""
+    """Lines that are neither parseable, comments, nor blank — PLUS lines
+    whose literal carries an invalid escape sequence (the grammar regex
+    accepts any `\\.`, but parse_ntriples drops such rows at decode time;
+    they must show up here, not vanish) — the no-silent-drops report."""
     line = F.col(col)
+    obj_raw = F.regexp_extract(line, _TRIPLE_RE, 3)
     ok = F.regexp_extract(line, _TRIPLE_RE, 1) != ""
+    bad_escape = (
+        ok
+        & ~obj_raw.startswith("<")
+        & ~obj_raw.startswith("_:")
+        & F.regexp_replace(obj_raw, _VALID_ESC_RE, "").contains("\\")
+    )
     ignorable = (F.trim(line) == "") | F.trim(line).startswith("#")
-    return lines.filter(~ok & ~ignorable)
+    return lines.filter((~ok & ~ignorable) | bad_escape)
 
 
 def read_ntriples(spark, path: str) -> DataFrame:

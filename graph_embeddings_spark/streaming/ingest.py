@@ -67,7 +67,14 @@ def start_triples_sink(
 ):
     """Append the surface-triple stream to parquet with exactly-once file
     semantics (the streaming checkpoint IS the lineage record for resume —
-    north_rule's resumability at the ingestion tier)."""
+    north_rule's resumability at the ingestion tier).
+
+    Schema migration note: sinks written before the warc_ts column was
+    added hold 5-column files; resuming such a sink appends 6-column
+    files into the same directory. Batch readers of a mixed directory
+    must pass .option("mergeSchema", "true") (pre-upgrade rows then read
+    warc_ts = NULL and are exempt from latest-wins dedup) or backfill the
+    old files once."""
     writer = (
         surface_stream.writeStream.format("parquet")
         .option("path", out_dir)

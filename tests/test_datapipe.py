@@ -475,3 +475,13 @@ def test_pack_assignments_invariants(spark):
         for r in pack_assignments(docs.repartition(7), capacity=64, seed=42).collect()
     }
     assert again == {r["doc_id"]: r["start_offset"] for r in out}
+
+
+def test_unit_hash_survives_huge_ids(spark):
+    """Ids past int32 (routine at 10^12 rows) must hash without ANSI
+    overflow in every operator built on _unit_hash."""
+    from graph_embeddings_spark.datapipe.sample import sample_n_per_stratum
+
+    rows = [(4_000_000_000 + i, "en") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    assert sample_n_per_stratum(docs, 10, seed=7).count() == 10

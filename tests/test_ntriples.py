@@ -85,3 +85,18 @@ def test_full_escape_decoding(spark):
     assert got["http://ex/d"] == "big\U0001F600"
     assert got["http://ex/e"] == "keep\\nliteral"  # escaped backslash + n
     assert "http://ex/f" not in got  # malformed \\u dropped, job survives
+
+
+def test_bad_escape_rows_show_in_parse_errors(spark):
+    """A literal with an invalid escape is dropped by parse_ntriples — and
+    MUST therefore appear in parse_errors (no-silent-drops contract)."""
+    lines = [
+        '<http://ex/f> <http://ex/p> "bad\\uZZZZ escape" .',
+        '<http://ex/g> <http://ex/p> "fine \\u00E9 and \\\\ and \\n" .',
+        '<http://ex/h> <http://ex/p> "plain" .',
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    errs = [r["value"] for r in parse_errors(df).collect()]
+    assert len(errs) == 1 and "bad" in errs[0]
+    got = {r["subj"] for r in parse_ntriples(df).collect()}
+    assert got == {"http://ex/g", "http://ex/h"}

@@ -419,3 +419,13 @@ def test_resolve_iri_query_references():
     assert resolve_iri("rel", "http://a/b/c?x=1") == "http://a/b/rel"
     assert resolve_iri("rel", "http://a/b?x=/y") == "http://a/rel"
     assert resolve_iri("rel", "http://a/b/c#frag") == "http://a/b/rel"
+
+
+def test_resolve_iri_abs_path_strips_base_query():
+    """Absolute-path reference against a query-bearing base: the '/' inside
+    the query must not be mistaken for the path start."""
+    from graph_embeddings_spark.sources._distribute import resolve_iri
+
+    assert resolve_iri("/x", "http://a?q=/y") == "http://a/x"
+    assert resolve_iri("/x", "http://a/b#f/g") == "http://a/x"
+    assert resolve_iri("/abs", "http://b/x/y?k=1") == "http://b/abs"
