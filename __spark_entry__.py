@@ -512,6 +512,20 @@ def q_f2_f3_output_filter(spark, sf_dir):
 # Training-data-pipeline operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
 
+def q_contamination_check(spark, sf_dir):
+    """Train/test decontamination: fraction of each training doc's
+    winnowing fingerprints present anywhere in a held-out 'benchmark'
+    slice (docs 300-349). Composes the oracle-proven fingerprinter; the
+    winnowing guarantee makes overlap=0 a no-verbatim-overlap certificate
+    for substrings >= k+w-1 chars."""
+    from graph_embeddings_spark.datapipe.textstats import contamination_check
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") < 200)
+    bench = docs.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 350))
+    return contamination_check(train, bench, k=5, w=4)
+
+
 def q_pack_assignments(spark, sf_dir):
     """Pretraining sequence packing (concat-and-chunk): per document, its
     start offset in the hash-permuted concatenated token stream and the
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_f3_output_filter": q_f2_f3_output_filter,
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
+        "contamination_check": q_contamination_check,
         "pack_assignments": q_pack_assignments,
         "pii_scrub": q_pii_scrub,
         "boilerplate_lines": q_boilerplate_lines,
@@ -1322,6 +1337,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
+        """,
+        "contamination_check": """
+            WITH fp AS (
+                WITH norm AS (
+                    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                    FROM documents
+                ), grams AS (
+                    SELECT doc_id,
+                           list_transform(generate_series(1, greatest(length(t) - 4, 0)),
+                                          i -> substring(md5(substring(t, i, 5)), 1, 8)) AS g
+                    FROM norm
+                ), mins AS (
+                    SELECT doc_id,
+                           CASE WHEN len(g) - 3 >= 1 THEN
+                               list_distinct(list_transform(generate_series(1, len(g) - 3),
+                                                            j -> list_min(g[j:j+3])))
+                                WHEN len(g) >= 1 THEN [list_min(g)]
+                                ELSE CAST([] AS VARCHAR[]) END AS fps
+                    FROM grams
+                )
+                SELECT doc_id, unnest(fps) AS fp FROM mins
+            ), bench AS (
+                SELECT DISTINCT fp FROM fp WHERE doc_id >= 300 AND doc_id < 350
+            )
+            SELECT f.doc_id,
+                   count(*) AS n_fp,
+                   count(b.fp) AS n_hit,
+                   round(CAST(count(b.fp) AS DOUBLE) / count(*), 6) AS overlap
+            FROM fp f LEFT JOIN bench b ON f.fp = b.fp
+            WHERE f.doc_id < 200
+            GROUP BY f.doc_id
         """,
         "pack_assignments": """
             WITH keyed AS (

@@ -143,3 +143,44 @@ def winnowing_fingerprints(
         )
     )
     return docs.select("doc_id", F.explode(mins).alias("fp"))
+
+
+def contamination_check(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Train/test decontamination: per training doc, the fraction of its
+    winnowing fingerprints that also occur ANYWHERE in the benchmark set
+    -> (doc_id, n_fp, n_hit, overlap). A shared substring of length
+    >= k+w-1 guarantees a shared fingerprint (the winnowing guarantee), so
+    overlap = 0 certifies no such verbatim overlap; thresholding overlap
+    flags docs that quote benchmark items.
+
+    Plan shape: fingerprints on both sides (pure column math), the
+    benchmark's DISTINCT fingerprint set is usually small enough to
+    broadcast (a 100k-item eval suite is ~10^7 fps), one semi-join-style
+    left join + groupBy on doc_id. Linear in corpus size."""
+    doc_fp = winnowing_fingerprints(docs, k=k, w=w, text_col=text_col)
+    bench_fp = (
+        winnowing_fingerprints(
+            benchmark.select(F.col(bench_text_col).alias("text")).withColumn(
+                "doc_id", F.monotonically_increasing_id()
+            ),
+            k=k, w=w,
+        )
+        .select("fp")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = doc_fp.join(F.broadcast(bench_fp), "fp", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(
+            F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*"), 6
+        ).alias("overlap"),
+    )

@@ -485,3 +485,23 @@ def test_unit_hash_survives_huge_ids(spark):
     rows = [(4_000_000_000 + i, "en") for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id long, lang string")
     assert sample_n_per_stratum(docs, 10, seed=7).count() == 10
+
+
+def test_contamination_check_detects_verbatim_overlap(spark):
+    from graph_embeddings_spark.datapipe.textstats import contamination_check
+
+    bench = spark.createDataFrame(
+        [(0, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "totally unrelated content about weather patterns today"),
+            (2, "quiz: the secret benchmark answer is forty two exactly, copy it"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_check(train, bench, k=5, w=4).collect()}
+    assert got[1]["overlap"] < 0.2  # no shared >=8-char substring families
+    assert got[2]["n_hit"] > 0 and got[2]["overlap"] > 0.4  # quoted verbatim
+    # winnowing guarantee: the quoting doc shares fingerprints
