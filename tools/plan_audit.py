@@ -205,6 +205,54 @@ def main():
         "tests/test_plans.py.",
     )
 
+    # 10. Curation suite: stratified sample (zero-shuffle filter) + pack
+    from graph_embeddings_spark.datapipe.pack import pack_assignments
+    from graph_embeddings_spark.datapipe.sample import sample_stratified
+
+    add(
+        "Stratified sample (engine-reproducible Bernoulli)",
+        sample_stratified(docs, {"en": 0.5, "de": 0.2}),
+        "A plain codegen filter over the id-hash — ZERO exchanges; pushes "
+        "through/below any downstream operator like any other predicate.",
+    )
+    add(
+        "Sequence packing (concat-and-chunk assignment)",
+        pack_assignments(docs, capacity=2048),
+        "One global sort on the hash permutation + a running sum: the "
+        "single-window form; at 10^12 docs the same assignment is the "
+        "standard two-pass distributed prefix sum (see pack.py docstring).",
+    )
+
+    # 11. Boilerplate-line removal: one persisted explode feeds both the
+    # df-count and the anti-join
+    from graph_embeddings_spark.datapipe.scrub import remove_boilerplate_lines
+
+    reg: list = []
+    add(
+        "Boilerplate-line removal (CCNet/C4 line dedup)",
+        remove_boilerplate_lines(docs.limit(200), max_df=20, cache_registry=reg),
+        "The split+posexplode relation is persisted and consumed TWICE "
+        "(distinct-doc-count, anti-join) — one scan of the corpus; the "
+        "order-preserving rebuild is array_sort + GetArrayStructFields, "
+        "all codegen.",
+    )
+    for c in reg:
+        c.unpersist()
+
+    # 12. Connected components: one alternating star round
+    from graph_embeddings_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "a long, b long"
+    )
+    add(
+        "Connected components (one Large-Star/Small-Star fixpoint run)",
+        connected_components(pairs, max_rounds=6),
+        "Each star round is two groupBy exchanges over a SHRINKING edge "
+        "relation, lineage truncated by localCheckpoint per round; "
+        "O(log^2 n) rounds total regardless of component diameter.",
+    )
+
     with open(os.path.join(REPO, "PLANS.md"), "w") as f:
         f.write(
             "# PLANS — physical-plan audit of the hot paths\n\n"
