@@ -403,3 +403,33 @@ def test_pglove_rejects_out_of_domain_x():
         inner_and_weight("pglove", np.array([3.0]), z, z, z, max_x=1.0)
     inner, w = inner_and_weight("pglove", np.array([0.5]), z, z, z, max_x=1.0)
     assert np.isfinite(inner).all()
+
+
+def test_retrain_clears_stale_convergence_state(spark, tmp_path):
+    """Restarting training from epoch 0 over an old checkpoint dir must
+    clear the prior _CONVERGED marker and the stale high-epoch params —
+    otherwise a crash mid-retrain would later 'resume' into the OLD run's
+    parameters."""
+    import os
+
+    from graph_embeddings_spark.glove.train import (
+        converged_epoch, find_completed_epochs, optimize,
+    )
+
+    from graph_embeddings_spark.glove.train import mark_converged
+
+    cooc, nodes = _tiny_cooc(spark)
+    ckpt = str(tmp_path / "params")
+    kw = dict(dim=4, co_count=8, max_x=3.0, cost="glove", method="adagrad",
+              seed=42, n_shards=2, batch=1, checkpoint_dir=ckpt)
+    optimize(cooc, nodes, maxiter=3, tolerance=0.0, **kw)  # run A: 3 epochs
+    mark_converged(ckpt, 2, 0.5)  # as if A's tolerance break fired at epoch 2
+    assert sorted(find_completed_epochs(ckpt)) == [0, 1, 2]
+
+    # retrain from scratch but stop after ONE epoch (stands in for a crash
+    # mid-retrain: fewer epochs completed than run A had)
+    optimize(cooc, nodes, maxiter=1, tolerance=0.0, **kw)
+    assert converged_epoch(ckpt) is None  # stale marker gone
+    left = find_completed_epochs(ckpt)
+    assert max(left) == 0  # run A's higher epochs were purged
+    assert os.path.isdir(os.path.join(ckpt, "params_epoch=0000"))
