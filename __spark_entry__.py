@@ -1003,6 +1003,32 @@ def entry_at(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _winnow_fp_sql(where: str) -> str:
+    """Winnowing fingerprint relation as a DuckDB CTE chain — ONE
+    definition shared by the winnowing_fingerprint and contamination_check
+    oracles so the scheme (k=5, w=4, 8-hex md5 prefix) cannot drift
+    between them."""
+    return f"""
+            WITH norm AS (
+                SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+                FROM documents {where}
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(generate_series(1, greatest(length(t) - 4, 0)),
+                                      i -> substring(md5(substring(t, i, 5)), 1, 8)) AS g
+                FROM norm
+            ), mins AS (
+                SELECT doc_id,
+                       CASE WHEN len(g) - 3 >= 1 THEN
+                           list_distinct(list_transform(generate_series(1, len(g) - 3),
+                                                        j -> list_min(g[j:j+3])))
+                            WHEN len(g) >= 1 THEN [list_min(g)]
+                            ELSE CAST([] AS VARCHAR[]) END AS fps
+                FROM grams
+            )
+            SELECT doc_id, unnest(fps) AS fp FROM mins"""
+
+
 def oracle_sql() -> dict[str, str]:
     lang_score_sql = ", ".join(
         "("
@@ -1338,36 +1364,25 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
         """,
-        "contamination_check": """
-            WITH fp AS (
-                WITH norm AS (
-                    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-                    FROM documents
-                ), grams AS (
-                    SELECT doc_id,
-                           list_transform(generate_series(1, greatest(length(t) - 4, 0)),
-                                          i -> substring(md5(substring(t, i, 5)), 1, 8)) AS g
-                    FROM norm
-                ), mins AS (
-                    SELECT doc_id,
-                           CASE WHEN len(g) - 3 >= 1 THEN
-                               list_distinct(list_transform(generate_series(1, len(g) - 3),
-                                                            j -> list_min(g[j:j+3])))
-                                WHEN len(g) >= 1 THEN [list_min(g)]
-                                ELSE CAST([] AS VARCHAR[]) END AS fps
-                    FROM grams
-                )
-                SELECT doc_id, unnest(fps) AS fp FROM mins
+        "contamination_check": f"""
+            WITH fp AS ({_winnow_fp_sql("")}
             ), bench AS (
                 SELECT DISTINCT fp FROM fp WHERE doc_id >= 300 AND doc_id < 350
+            ), agg AS (
+                SELECT f.doc_id,
+                       count(*) AS n_fp,
+                       count(b.fp) AS n_hit,
+                       round(CAST(count(b.fp) AS DOUBLE) / count(*), 6) AS overlap
+                FROM fp f LEFT JOIN bench b ON f.fp = b.fp
+                WHERE f.doc_id < 200
+                GROUP BY f.doc_id
             )
-            SELECT f.doc_id,
-                   count(*) AS n_fp,
-                   count(b.fp) AS n_hit,
-                   round(CAST(count(b.fp) AS DOUBLE) / count(*), 6) AS overlap
-            FROM fp f LEFT JOIN bench b ON f.fp = b.fp
-            WHERE f.doc_id < 200
-            GROUP BY f.doc_id
+            SELECT d.doc_id,
+                   coalesce(a.n_fp, 0) AS n_fp,
+                   coalesce(a.n_hit, 0) AS n_hit,
+                   coalesce(a.overlap, 0.0) AS overlap
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            WHERE d.doc_id < 200
         """,
         "pack_assignments": """
             WITH keyed AS (
@@ -1617,24 +1632,5 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM fwd UNION ALL SELECT * FROM rev
                   UNION ALL SELECT * FROM roots)
         """,
-        "winnowing_fingerprint": """
-            WITH norm AS (
-                SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-                FROM documents WHERE doc_id < 200
-            ), grams AS (
-                SELECT doc_id,
-                       list_transform(generate_series(1, greatest(length(t) - 4, 0)),
-                                      i -> substring(md5(substring(t, i, 5)), 1, 8)) AS g
-                FROM norm
-            ), mins AS (
-                SELECT doc_id,
-                       CASE WHEN len(g) - 3 >= 1 THEN
-                           list_distinct(list_transform(generate_series(1, len(g) - 3),
-                                                        j -> list_min(g[j:j+3])))
-                            WHEN len(g) >= 1 THEN [list_min(g)]
-                            ELSE CAST([] AS VARCHAR[]) END AS fps
-                FROM grams
-            )
-            SELECT doc_id, unnest(fps) AS fp FROM mins
-        """,
+        "winnowing_fingerprint": _winnow_fp_sql("WHERE doc_id < 200"),
     }

@@ -152,6 +152,7 @@ def contamination_check(
     w: int = 4,
     text_col: str = "text",
     bench_text_col: str = "text",
+    broadcast_bench: bool = True,
 ) -> DataFrame:
     """Train/test decontamination: per training doc, the fraction of its
     winnowing fingerprints that also occur ANYWHERE in the benchmark set
@@ -162,8 +163,12 @@ def contamination_check(
 
     Plan shape: fingerprints on both sides (pure column math), the
     benchmark's DISTINCT fingerprint set is usually small enough to
-    broadcast (a 100k-item eval suite is ~10^7 fps), one semi-join-style
-    left join + groupBy on doc_id. Linear in corpus size."""
+    broadcast (a 100k-item eval suite is ~10^7 fps) — set
+    broadcast_bench=False past Spark's 8 GB broadcast-relation limit to
+    fall back to a shuffle join — then one left join + groupBy on doc_id.
+    Linear in corpus size. Docs with ZERO fingerprints (normalized text
+    shorter than k) still get a row (n_fp=0, overlap=0.0): every training
+    doc appears exactly once."""
     doc_fp = winnowing_fingerprints(docs, k=k, w=w, text_col=text_col)
     bench_fp = (
         winnowing_fingerprints(
@@ -176,11 +181,23 @@ def contamination_check(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    joined = doc_fp.join(F.broadcast(bench_fp), "fp", "left")
-    return joined.groupBy("doc_id").agg(
+    if broadcast_bench:
+        bench_fp = F.broadcast(bench_fp)
+    joined = doc_fp.join(bench_fp, "fp", "left")
+    per_doc = joined.groupBy("doc_id").agg(
         F.count("*").alias("n_fp"),
         F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hit"),
         F.round(
             F.coalesce(F.sum("_hit"), F.lit(0)) / F.count("*"), 6
         ).alias("overlap"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_fp", F.lit(0)).alias("n_fp"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.coalesce("overlap", F.lit(0.0)).alias("overlap"),
+        )
     )

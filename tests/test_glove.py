@@ -413,10 +413,8 @@ def test_retrain_clears_stale_convergence_state(spark, tmp_path):
     import os
 
     from graph_embeddings_spark.glove.train import (
-        converged_epoch, find_completed_epochs, optimize,
+        converged_epoch, find_completed_epochs, mark_converged, optimize,
     )
-
-    from graph_embeddings_spark.glove.train import mark_converged
 
     cooc, nodes = _tiny_cooc(spark)
     ckpt = str(tmp_path / "params")
