@@ -1385,23 +1385,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id < 200
         """,
         "pack_assignments": """
+            -- every derived column CAST to BIGINT and all chunk math in
+            -- integer division: DuckDB's windowed sum returns HUGEINT
+            -- (int128), which some client versions stringify/convert
+            -- differently (pandas float64), and floor(x / 2048.0) rounds in
+            -- float space -- both broke hash parity at the driver while
+            -- passing locally
             WITH keyed AS (
                 SELECT doc_id,
-                       CASE WHEN length(trim(text)) = 0 THEN 0
+                       CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+'))
-                       END AS n_tokens,
+                       END AS BIGINT) AS n_tokens,
                        ((((doc_id % 2147483647) * 2654435761 + 42) % 2147483648) * 2654435761)
                            % 2147483647 AS h
                 FROM documents
             ), cum AS (
                 SELECT doc_id, n_tokens,
-                       sum(n_tokens) OVER (ORDER BY h, doc_id) AS e
+                       CAST(sum(n_tokens) OVER (ORDER BY h, doc_id) AS BIGINT) AS e
                 FROM keyed
             )
             SELECT doc_id, n_tokens,
                    e - n_tokens AS start_offset,
-                   CAST(floor((e - n_tokens) / 2048.0) AS BIGINT) AS chunk_first,
-                   CAST(floor(greatest(e - 1, e - n_tokens) / 2048.0) AS BIGINT) AS chunk_last
+                   (e - n_tokens) // 2048 AS chunk_first,
+                   greatest(e - 1, e - n_tokens) // 2048 AS chunk_last
             FROM cum
         """,
         "pii_scrub": """

@@ -419,21 +419,16 @@ def cosine_dedup_pairs(
     bucket-sized joins. Recall at θ=0.95 with 8 planes / 4 bands ≈ 0.999
     (P(plane splits an 18° pair) ≈ 0.1; 1-(1-0.9²)⁴). dim is required for
     'lsh' (plane generation is per-component column math)."""
+    from .ann import cosine_rescore
+
     v = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y), F.lit(0.0), lambda s, z: s + z
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda s, z: s + z.cast("double") * z)
-    )
-    cos = (dot / (norm(F.col("va")) * norm(F.col("vb")) + F.lit(1e-12))).alias("cos")
     if strategy == "brute":
         a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
         b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("a") < F.col("b"))
         return (
-            a.crossJoin(b)
-            .filter(F.col("a") < F.col("b"))
-            .select("a", "b", cos)
+            cosine_rescore(pairs, "va", "vb")
+            .select("a", "b", "cos")
             .filter(F.col("cos") >= threshold)
         )
     if strategy != "lsh":
@@ -463,9 +458,17 @@ def cosine_dedup_pairs(
         a.join(b, ["band", "bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "va", "vb")
-        .distinct()
     )
-    return cands.select("a", "b", cos).filter(F.col("cos") >= threshold)
+    # score the multi-band duplicates (Arrow-batched, cheap) and dedup
+    # AFTER the threshold filter on id-sized rows — the old vector-carrying
+    # .distinct() shipped both embeddings per candidate through its
+    # exchange; duplicates score identically so max = any
+    return (
+        cosine_rescore(cands, "va", "vb")
+        .filter(F.col("cos") >= threshold)
+        .groupBy("a", "b")
+        .agg(F.max("cos").alias("cos"))
+    )
 
 
 # ---------------------------------------------------------------------------

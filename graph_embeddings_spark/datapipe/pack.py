@@ -15,12 +15,16 @@ datapipe/sample.py — a seeded, engine-reproducible permutation, so the
 DuckDB oracle reproduces the assignment bit-for-bit and re-runs at any
 parallelism agree.
 
-Scale note: the window over a single global ordering is ONE range
-partition (Spark sorts by the hash key, then a running sum). For 10^12
-docs use the standard two-pass distributed prefix sum (per-partition
-totals -> driver cumsum of ~thousands of partials -> broadcast offsets);
-this module keeps the one-window form, which Spark executes as a single
-global sort — correct at any size, optimal up to the sort.
+Scale shape: the prefix sum is the standard TWO-PASS distributed scan,
+not one global-sort window. Rows are bucketed into hash-RANGE partitions
+(_pid = floor(h * P) — a pure function of the id, so both passes see
+identical buckets with no repartitionByRange boundary sampling, which is
+not stable across jobs); pass 1 sums each bucket's tokens (driver
+collects ~thousands of partial totals, one long each), pass 2 runs the
+running sum WITHIN each bucket — a parallel window, never a single
+global sort — and adds the broadcast bucket offset. All chunk arithmetic
+is integer (`div`), never float: floor(x/c) in float space loses
+exactness past 2^53 tokens, which a 10^12-doc corpus crosses.
 """
 
 from __future__ import annotations
@@ -37,6 +41,7 @@ def pack_assignments(
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: int = 42,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """-> (doc_id, n_tokens, start_offset, chunk_first, chunk_last).
 
@@ -44,17 +49,59 @@ def pack_assignments(
     stream (hash-permuted order). chunk_first/chunk_last: indices of the
     capacity-sized windows the doc's tokens fall into (a doc may straddle
     several). Zero-token docs occupy no stream space; they are assigned
-    the chunk their offset points at (chunk_last = chunk_first)."""
+    the chunk their offset points at (chunk_last = chunk_first).
+
+    num_partitions: bucket count for the two-pass prefix sum (default:
+    the session's shuffle partitions). The output is identical at ANY
+    bucket count — global order is (hash, id); _pid = floor(hash * P) is
+    monotone in hash, so bucket-0 rows all precede bucket-1 rows and the
+    per-bucket running sums concatenate into the global prefix sum.
+    Ties across the (hash, id) order never straddle buckets because equal
+    hashes land in the same bucket by construction.
+    """
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    p = int(num_partitions)
     n_tok = token_count_col(F.col(text_col)).cast("long").alias("n_tokens")
-    keyed = docs.select(F.col(id_col), n_tok, _unit_hash(F.col(id_col), seed).alias("_h"))
-    w = Window.orderBy("_h", id_col)
-    cum = keyed.withColumn("_end", F.sum("n_tokens").over(w))
+    h = _unit_hash(F.col(id_col), seed)
+    keyed = docs.select(
+        F.col(id_col),
+        n_tok,
+        h.alias("_h"),
+        F.least(F.floor(h * p), F.lit(p - 1)).cast("int").alias("_pid"),
+    )
+
+    # pass 1: one token total per bucket (driver-small: p longs), turned
+    # into exclusive prefix offsets and broadcast back
+    totals = {
+        r["_pid"]: r["_t"]
+        for r in keyed.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((int(pid), acc))
+        acc += int(totals[pid])
+    off_df = F.broadcast(spark.createDataFrame(offsets or [(0, 0)], "_pid int, _off long"))
+
+    # pass 2: running sum WITHIN each bucket (parallel window — the
+    # exchange hashes on _pid, every bucket is its own window group) plus
+    # the bucket's broadcast offset
+    w = Window.partitionBy("_pid").orderBy("_h", id_col)
+    cum = (
+        keyed.join(off_df, "_pid")
+        .withColumn("_end", F.sum("n_tokens").over(w) + F.col("_off"))
+    )
+    start = F.col("_end") - F.col("n_tokens")
     return cum.select(
         id_col,
         "n_tokens",
-        (F.col("_end") - F.col("n_tokens")).alias("start_offset"),
-        F.floor((F.col("_end") - F.col("n_tokens")) / capacity).alias("chunk_first"),
-        F.floor(
-            F.greatest(F.col("_end") - 1, F.col("_end") - F.col("n_tokens")) / capacity
-        ).alias("chunk_last"),
+        start.alias("start_offset"),
+        F.col("_end").alias("_e"),
+    ).selectExpr(
+        id_col,
+        "n_tokens",
+        "start_offset",
+        f"start_offset div {int(capacity)} AS chunk_first",
+        f"greatest(_e - 1, start_offset) div {int(capacity)} AS chunk_last",
     )

@@ -116,33 +116,45 @@ def winnowing_fingerprints(
     prefix of md5(k-gram) compared LEXICOGRAPHICALLY, which any SQL engine
     reproduces byte-identically (winnowing only needs a total order on
     hashes, not arithmetic)."""
-    s = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
-    n = F.length(s) - (k - 1)
+    # STAGED projections, not one nested expression: HOF lambdas are
+    # evaluated INTERPRETED with no common-subexpression elimination, so if
+    # the normalized string were inlined into the k-gram lambda the whole
+    # regexp_replace chain would re-run per k-gram, and a grams array
+    # inlined into the window lambda would re-materialize per window —
+    # O(len^2) work per doc (measured: ~1.4 s/doc at sf0.01). Each alias
+    # below is referenced more than once downstream, so CollapseProject
+    # keeps the projections separate and each array materializes once/row.
+    normed = docs.select(
+        "doc_id",
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))).alias("_t"),
+    )
+    n = F.length(F.col("_t")) - (k - 1)
     # n >= 1 guard: Spark's sequence(1, 0) counts DOWN, it is not empty
     grams = F.when(
         n >= 1,
         F.transform(
             F.sequence(F.lit(1), n),
-            lambda i: F.substring(F.md5(F.substr(s, i, F.lit(k))), 1, 8),
+            lambda i: F.substring(F.md5(F.substr(F.col("_t"), i, F.lit(k))), 1, 8),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_windows = F.size(grams) - (w - 1)
+    g = normed.select("doc_id", grams.alias("_g"))
+    n_windows = F.size(F.col("_g")) - (w - 1)
     mins = F.when(
         n_windows >= 1,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-                lambda j: F.array_min(F.slice(grams, j, w)),
+                lambda j: F.array_min(F.slice(F.col("_g"), j, w)),
             )
         ),
     ).otherwise(
         # shorter than one window but has k-grams: the global min is the
         # single fingerprint; no k-grams at all: empty
-        F.when(F.size(grams) >= 1, F.array(F.array_min(grams))).otherwise(
+        F.when(F.size(F.col("_g")) >= 1, F.array(F.array_min(F.col("_g")))).otherwise(
             F.array().cast("array<string>")
         )
     )
-    return docs.select("doc_id", F.explode(mins).alias("fp"))
+    return g.select("doc_id", F.explode(mins).alias("fp"))
 
 
 def contamination_check(

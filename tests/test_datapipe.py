@@ -85,6 +85,29 @@ def test_cosine_dedup_pairs(spark):
     assert (0, 1) in got and got[(0, 1)] > 0.99
 
 
+def test_cosine_rescore_matches_column_form(spark):
+    """Arrow-batched rescore kernel vs the interpreted HOF parity oracle
+    (same float64 math, summation order aside) — the simhash_col/simhash_df
+    playbook applied to the exact-cosine rescore. Includes a zero vector
+    (both forms resolve via the +1e-12 denominator guard)."""
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.datapipe.ann import cosine_col, cosine_rescore
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], [float(x) for x in rng.normal(size=8)])
+        for i in range(30)
+    ]
+    rows.append((30, [0.0] * 8, [float(x) for x in rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "id long, va array<float>, vb array<float>")
+    ref = {r["id"]: r["c"] for r in df.select("id", cosine_col(F.col("va"), F.col("vb")).alias("c")).collect()}
+    got = {r["id"]: r["cos"] for r in cosine_rescore(df, "va", "vb").collect()}
+    assert set(got) == set(ref)
+    for i in ref:
+        assert abs(got[i] - ref[i]) < 1e-12, (i, got[i], ref[i])
+
+
 def test_cosine_dedup_lsh_recall_vs_brute(spark):
     """The sign-band scale path must recover (nearly) every brute pair:
     clustered vectors (5 clusters x 4 near-identical members) make the true
@@ -475,6 +498,17 @@ def test_pack_assignments_invariants(spark):
         for r in pack_assignments(docs.repartition(7), capacity=64, seed=42).collect()
     }
     assert again == {r["doc_id"]: r["start_offset"] for r in out}
+    # the two-pass prefix sum must be invariant to its OWN bucket count
+    # (adversarial: 1 bucket, a prime count, more buckets than rows)
+    base = {r["doc_id"]: tuple(r) for r in out}
+    for n_parts in (1, 3, 257):
+        got = {
+            r["doc_id"]: tuple(r)
+            for r in pack_assignments(
+                docs, capacity=64, seed=42, num_partitions=n_parts
+            ).collect()
+        }
+        assert got == base, f"num_partitions={n_parts} changed the assignment"
 
 
 def test_unit_hash_survives_huge_ids(spark):

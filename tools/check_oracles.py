@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 sys.path.insert(0, "/root/repo")
 
@@ -43,6 +44,7 @@ def main():
     names = sys.argv[1:] or list(qs)
     failures = []
     for name in names:
+        t0 = time.monotonic()
         try:
             sdf = qs[name](spark, SF)
             srows = sdf.collect()
@@ -52,10 +54,11 @@ def main():
             )
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}", flush=True)
             continue
+        spark_sec = time.monotonic() - t0
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle)")
+            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{spark_sec:.2f}s]", flush=True)
             continue
         try:
             ddf = con.sql(oracles[name]).df()
@@ -82,7 +85,12 @@ def main():
                 print(f"      spark  {sset[i]}")
                 print(f"      duckdb {dset[i]}")
         else:
-            print(f"OK    {name}: {len(sset)} rows")
+            total_sec = time.monotonic() - t0
+            print(
+                f"OK    {name}: {len(sset)} rows"
+                f" [spark {spark_sec:.2f}s, +oracle {total_sec - spark_sec:.2f}s]",
+                flush=True,
+            )
     spark.stop()
     if failures:
         print("FAILURES:", failures)
