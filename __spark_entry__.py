@@ -332,6 +332,30 @@ def q_x6_token_cosine_precomputed(spark, sf_dir):
     )
 
 
+def q_x5_token_jaccard_precomputed(spark, sf_dir):
+    """X5 PreComputedTokenJaccard path (PreComputedTokenJaccard.java:12-52):
+    the Arrow-batched SCALAR (token_jaccard_py — identical profile->set math
+    to X3's column form, precomputed-profile contract), certified against
+    the same DuckDB distinct-token oracle shape as X3."""
+    from pyspark.sql.types import DoubleType
+
+    from graph_embeddings_spark.functions.similarity import token_jaccard_py
+
+    @F.pandas_udf(DoubleType())
+    def tj(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([token_jaccard_py(x, y) for x, y in zip(a, b)], dtype="float64")
+
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200).select("p_partkey", "p_name")
+    a = p.select(F.col("p_partkey").alias("a"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("b"), F.col("p_name").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.round(tj(F.col("na"), F.col("nb")), 6).alias("sim"))
+        .filter(F.col("sim") >= 0.5)
+    )
+
+
 def q_x8_ngram_cosine_pairs(spark, sf_dir):
     """X8 char-3-gram cosine over gram-count profiles as the JVM column form
     (PreComputedNgramCosine.java:10-63)."""
@@ -928,8 +952,24 @@ def q_streaming_ingest(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the round driver runs these in dict order under a
+    # global time budget, and r03's CORRECTNESS file silently truncated at
+    # 50/56 — dropping exactly the tail, which held the engine's core
+    # (bca_cooc, the GloVe smokes). The core queries therefore run FIRST,
+    # right after the flagship smoke; the cheap relational/similarity rows
+    # follow; the most expensive discretionary tail (minhash LSH, the
+    # embedding-LSH paths, multimodal decode) runs LAST, so any future
+    # truncation costs rows-only extras, never the identity of the system.
     return {
         "flagship_top_preds": lambda spark, sf: entry_at(spark, sf),
+        # --- core engine first: BCA co-occurrence, GloVe training, PCA ---
+        "bca_cooc": q_bca_cooc,
+        "glove_train_smoke": q_glove_train_smoke,
+        "glove_adam_smoke": q_glove_adam_smoke,
+        "glove_pglove_amsgrad_smoke": q_glove_pglove_amsgrad_smoke,
+        "streaming_ingest": q_streaming_ingest,
+        "pca_reduce": q_pca_reduce,
+        # --- graph materialization + relational surface ---
         "f1_pred_weight_filter": q_f1_pred_weight_filter,
         "a1_vertex_dedup": q_a1_vertex_dedup,
         "a2_edge_type_dict": q_a2_edge_type_dict,
@@ -941,19 +981,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topn": q_window_topn,
         "self_join_pairs": q_self_join_pairs,
         "cooc_upsert_sum": q_cooc_upsert_sum,
+        # --- similarity functions (X1-X10) ---
         "x1_jarowinkler_pairs": q_x1_jarowinkler_pairs,
         "x2_levenshtein_pairs": q_x2_levenshtein_pairs,
         "x3_token_jaccard_pairs": q_x3_token_jaccard_pairs,
+        "x5_token_jaccard_precomputed": q_x5_token_jaccard_precomputed,
         "x7_ngram_jaccard_pairs": q_x7_ngram_jaccard_pairs,
         "x4_token_cosine_pairs": q_x4_token_cosine_pairs,
         "x6_token_cosine_precomputed": q_x6_token_cosine_precomputed,
         "x8_ngram_cosine_pairs": q_x8_ngram_cosine_pairs,
         "x9_numeric_similarity": q_x9_numeric_similarity,
         "x10_date_similarity": q_x10_date_similarity,
+        # --- sources + output filters ---
         "s1_parse_ntriples": q_s1_parse_ntriples,
         "s1_parse_turtle": q_s1_parse_turtle,
         "s1_parse_hdt": q_s1_parse_hdt,
         "f2_f3_output_filter": q_f2_f3_output_filter,
+        # --- curation suite ---
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "contamination_check": q_contamination_check,
@@ -963,28 +1007,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "sample_n_per_stratum": q_sample_n_per_stratum,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
-        "ann_brute_topk": q_ann_brute_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "multimodal_image_features": q_multimodal_image_features,
-        "multimodal_audio_features": q_multimodal_audio_features,
-        "multimodal_video_features": q_multimodal_video_features,
-        "centroid_by_label": q_centroid_by_label,
         "lang_id": q_lang_id,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "winnowing_fingerprint": q_winnowing_fingerprint,
-        "bca_cooc": q_bca_cooc,
-        "glove_train_smoke": q_glove_train_smoke,
-        "glove_adam_smoke": q_glove_adam_smoke,
-        "glove_pglove_amsgrad_smoke": q_glove_pglove_amsgrad_smoke,
-        "streaming_ingest": q_streaming_ingest,
-        "pca_reduce": q_pca_reduce,
+        "centroid_by_label": q_centroid_by_label,
+        "ann_brute_topk": q_ann_brute_topk,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        # --- expensive rows-only tail (hash/LSH/binary-decode based) ---
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_embedding_cosine_lsh": q_dedup_embedding_cosine_lsh,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_image_features": q_multimodal_image_features,
+        "multimodal_audio_features": q_multimodal_audio_features,
+        "multimodal_video_features": q_multimodal_video_features,
     }
 
 
@@ -1217,6 +1256,27 @@ def oracle_sql() -> dict[str, str]:
                                   WHEN na = 0 OR nb = 0 THEN 0.0
                                   ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
                 FROM terms
+            )
+            SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
+        """,
+        "x5_token_jaccard_precomputed": """
+            WITH toks AS (
+                SELECT p_partkey,
+                       p_name,
+                       list_distinct(list_filter(
+                           list_transform(string_split(p_name, ' '), t -> trim(t)),
+                           t -> length(t) > 1 AND NOT list_contains(
+                               ['the','of','and','a','an','to','in','is','you','that','it',
+                                'for','on','from','are','as','with','at','or','by','but','if'], t)
+                       )) AS tk
+                FROM part WHERE p_partkey < 200
+            ), scored AS (
+                SELECT a.p_partkey AS a, b.p_partkey AS b,
+                       CASE WHEN a.p_name = b.p_name THEN 1.0
+                            WHEN len(list_distinct(list_concat(a.tk, b.tk))) = 0 THEN 0.0
+                            ELSE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.tk, b.tk))) END AS sim
+                FROM toks a JOIN toks b ON a.p_partkey < b.p_partkey
             )
             SELECT a, b, round(sim, 6) AS sim FROM scored WHERE round(sim, 6) >= 0.5
         """,

@@ -170,9 +170,16 @@ def load_config(path: str) -> PipelineConfig:
     ]
     # a declared `pca:` block ENABLES the reduction even when empty/null
     # (`pca:` / `pca: {}`); variance falls back to PcaConfig's default —
-    # pca_raw["variance"] would KeyError and `or None` silently disabled it
-    pca_enabled = "pca" in raw
-    pca_raw = raw.get("pca") or {}
+    # pca_raw["variance"] would KeyError and `or None` silently disabled it.
+    # Explicit opt-outs stay opt-outs: a falsy scalar (`pca: false`,
+    # `pca: 0`) or `pca: {enabled: false}` disables; any other scalar
+    # (e.g. `pca: true`) or mapping/null enables.
+    pca_val = raw.get("pca")
+    pca_enabled = "pca" in raw and not (
+        (pca_val is not None and not isinstance(pca_val, dict) and not pca_val)
+        or (isinstance(pca_val, dict) and pca_val.get("enabled") is False)
+    )
+    pca_raw = pca_val if isinstance(pca_val, dict) else {}
     bca_raw = raw.get("bca", {}) or {}
     opt_raw = raw.get("opt", {}) or {}
     out_raw = raw.get("output", {}) or {}

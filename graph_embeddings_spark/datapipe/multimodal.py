@@ -35,20 +35,12 @@ MEDIA_SCHEMA = (
     "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
 )
 
-HAVE_PIL = False
-try:  # pragma: no cover - not present in this container
-    import PIL.Image  # type: ignore  # noqa: F401
-
-    HAVE_PIL = True
-except Exception:
-    pass
-
-
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Deterministic fake decode: bytes -> (h, w) uint8 grid by repeating the
-    payload. Real impl: PIL.Image.open(BytesIO(payload)) -> np.asarray."""
-    if HAVE_PIL:
-        raise NotImplementedError("wire PIL decode here when the library ships")
+    """Deterministic fake decode for non-BMP/JPEG payloads: bytes ->
+    (h, w) uint8 grid by repeating the payload. The real formats this
+    corpus produces (BMP, baseline JPEG) never reach this stub — they
+    decode through the from-spec codecs in bmp.py / jpeg.py via
+    _decode_image below."""
     if not payload or width <= 0 or height <= 0:
         return np.zeros((0, 0), dtype=np.uint8)
     buf = np.frombuffer(bytes(payload), dtype=np.uint8)

@@ -66,9 +66,10 @@ def sample_n_per_stratum(
 ) -> DataFrame:
     """Exact-count deterministic sample: the n rows with the smallest
     id-hash per stratum (hash order = a seeded random-but-reproducible
-    permutation). One shuffle on the stratum key; ties impossible since
-    the hash is injective on ids modulo 2^32 within a stratum of < 2^32
-    rows (id ranges beyond that should salt the seed per range)."""
+    permutation). One shuffle on the stratum key. Hash collisions ARE
+    possible (_unit_hash is 31-bit; ids differing by 2^31-1 collide) —
+    determinism and oracle parity come from the (hash, id) orderBy
+    tie-break, which both engines evaluate identically."""
     h = _unit_hash(F.col(id_col), seed).alias("_h")
     w = Window.partitionBy(strata_col).orderBy("_h", id_col)
     return (

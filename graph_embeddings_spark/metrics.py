@@ -107,7 +107,14 @@ def link_prediction_auc(
     agg = ranked.groupBy("y").agg(F.sum("r").alias("rs"), F.count("*").alias("n")).collect()
     stats = {r["y"]: (r["rs"], r["n"]) for r in agg}
     if 1 not in stats or 0 not in stats:
-        return 0.0
+        # loud failure, not a silent 0.0 (which reads as worst-possible
+        # embeddings): on tiny/dense graphs the self-pair/true-edge
+        # anti-join can eliminate every sampled negative
+        missing = "negatives" if 0 not in stats else "positives"
+        raise ValueError(
+            f"link_prediction_auc: no {missing} to rank (graph too small/"
+            f"dense for the negative sampler?) — AUC is undefined"
+        )
     rs_pos, n_pos = stats[1]
     _, n_neg = stats[0]
     return float((rs_pos - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))

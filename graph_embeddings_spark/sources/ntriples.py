@@ -77,11 +77,19 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
     lex = F.regexp_replace(obj_raw, r"\"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$", "")
     lex = F.regexp_replace(lex, r"^\"", "")
     is_lit = ~obj_raw.startswith("<") & ~obj_raw.startswith("_:")
-    # numeric escapes can't be decoded column-side, and escaped
-    # backslashes would make independent per-escape replaces order-unsafe
-    # — both (rare) shapes take the Python branch; everything else stays
-    # pure-column
-    has_u = is_lit & (lex.rlike(r"\\[uU]") | lex.contains("\\\\"))
+    # numeric escapes can't be decoded column-side, escaped backslashes
+    # would make independent per-escape replaces order-unsafe, and INVALID
+    # escapes (e.g. "\x") must be dropped, not emitted raw — all three
+    # (rare) shapes take the Python branch, where _unescape either decodes
+    # or raises-and-drops; everything else stays pure-column. The invalid
+    # predicate (delete every valid escape, check for a leftover
+    # backslash) is the same one parse_errors uses, so a row never appears
+    # in both the triples output and the error report.
+    has_u = is_lit & (
+        lex.rlike(r"\\[uU]")
+        | lex.contains("\\\\")
+        | F.regexp_replace(lex, _VALID_ESC_RE, "").contains("\\")
+    )
 
     obj = (
         F.when(obj_raw.startswith("<"), _strip_uri(obj_raw))

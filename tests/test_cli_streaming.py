@@ -220,3 +220,27 @@ def test_load_config_pca_defaults(tmp_path):
     p3.write_text(base + "similarity:\n  - method: token_jaccard\n    threshold: 0.6\n")
     with pytest.raises(ValueError, match="sourcePredicate"):
         load_config(str(p3))
+
+
+def test_load_config_pca_explicit_optout(tmp_path):
+    """Explicit falsy pca values DISABLE the reduction: `pca: false`,
+    `pca: 0`, and `pca: {enabled: false}` — only mapping/null/truthy
+    scalars enable it (a declared-but-falsy block used to enable)."""
+    from graph_embeddings_spark.config import load_config
+
+    base = "graph: g.ttl\ndim: 4\noutput:\n  uri: []\n"
+    for i, (snippet, want_enabled) in enumerate(
+        [
+            ("pca: false\n", False),
+            ("pca: 0\n", False),
+            ("pca:\n  enabled: false\n", False),
+            ("pca: true\n", True),
+            ("pca:\n", True),
+            ("pca: {}\n", True),
+            ("", False),
+        ]
+    ):
+        p = tmp_path / f"pca{i}.yml"
+        p.write_text(base + snippet)
+        got = load_config(str(p)).pca
+        assert (got is not None) == want_enabled, (snippet, got)

@@ -94,9 +94,13 @@ def test_bad_escape_rows_show_in_parse_errors(spark):
         '<http://ex/f> <http://ex/p> "bad\\uZZZZ escape" .',
         '<http://ex/g> <http://ex/p> "fine \\u00E9 and \\\\ and \\n" .',
         '<http://ex/h> <http://ex/p> "plain" .',
+        # invalid single-char escape: must drop from the triples AND show
+        # here — previously it was emitted raw while also flagged as an
+        # error, so one line appeared in both outputs
+        '<http://ex/i> <http://ex/p> "bad\\x escape" .',
     ]
     df = spark.createDataFrame([(l,) for l in lines], "value string")
     errs = [r["value"] for r in parse_errors(df).collect()]
-    assert len(errs) == 1 and "bad" in errs[0]
+    assert len(errs) == 2 and all("bad" in e for e in errs)
     got = {r["subj"] for r in parse_ntriples(df).collect()}
     assert got == {"http://ex/g", "http://ex/h"}

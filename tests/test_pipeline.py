@@ -109,6 +109,26 @@ def test_embedding_quality(pipe):
     assert auc > 0.6, f"auc {auc}"
 
 
+def test_link_prediction_auc_raises_when_no_negatives(spark):
+    """On a COMPLETE graph every sampled negative is a true edge or
+    self-pair, so the negative class is empty after the anti-join — the
+    metric must fail loudly (AUC undefined), not return a silent 0.0 that
+    reads as worst-possible embeddings."""
+    import pytest
+
+    from graph_embeddings_spark.metrics import link_prediction_auc
+
+    ids = [0, 1, 2]
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in ids], "node_id long, vec array<float>"
+    )
+    edges = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="no negatives"):
+        link_prediction_auc(emb, edges, neg_per_pos=1)
+
+
 def test_resume_from_checkpoint(spark, world, pipe):
     """Re-running with resume=True must reuse checkpoints (same node ids)
     without recomputing stages."""
