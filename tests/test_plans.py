@@ -86,11 +86,13 @@ def test_extract_embeddings_no_python(spark):
     assert "zip_with" in plan or "ZipWith" in plan
 
 def test_bca_loop_round_exchange_budget(spark):
-    """One loop round = frontier⋈adjacency + groupBy merge. The adjacency is
-    pre-partitioned on the join key, so a round's plan must contain at most
-    2 new exchanges (the groupBy shuffle + at most one frontier re-shard);
-    more means the per-round cost would compound at 100-TB scale."""
-    from graph_embeddings_spark.bca.cooc import build_adjacency
+    """One loop round = frontier⋈adjacency + single node-keyed merge. The
+    adjacency is pre-partitioned on the join key and the merge repartitions
+    on node (which satisfies the groupBy's clustering), so a round's plan
+    must contain EXACTLY 1 new shuffle exchange; more means the per-round
+    cost would compound at 100-TB scale. Uses the engine's own expand_round
+    so the asserted plan cannot drift from the shipping one."""
+    from graph_embeddings_spark.bca.cooc import build_adjacency, expand_round
 
     edges = spark.createDataFrame(
         [(0, 1, 1, 1.0), (1, 2, 1, 2.0), (2, 0, 1, 1.0)],
@@ -104,21 +106,10 @@ def test_bca_loop_round_exchange_budget(spark):
     wet = spark.createDataFrame(
         [(0, 0, 1.0), (1, 1, 1.0)], "root long, node long, paint double"
     ).localCheckpoint(eager=True)
-    moved = (
-        wet.filter(F.col("paint") >= 1e-3)
-        .join(adj, "node")
-        .select(
-            "root",
-            F.col("dst").alias("node"),
-            (0.9 * F.col("paint") * F.col("weight") / F.col("wsum")).alias("paint"),
-        )
-        .filter(F.col("paint") >= 1e-3)
-        .groupBy("root", "node")
-        .agg(F.sum("paint").alias("paint"))
-    )
+    moved = expand_round(wet.filter(F.col("paint") >= 1e-3), adj, 0.1, 1e-3)
     # Count SHUFFLE exchanges executed per round: truncate at the cached
     # adjacency (its displayed build plan already ran once, not per round)
     # and ignore BroadcastExchange (broadcasting a small side is the win).
     plan = _plan(moved).split("InMemoryRelation")[0]
     n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, plan
+    assert n_exchanges == 1, plan

@@ -158,9 +158,10 @@ def main():
         "MinHash-LSH dedup (threshold-derived banding, fused prefilter)",
         minhash_lsh_dedup(docs.limit(200), threshold=0.8),
         "Signatures computed ONCE (explode+min-agg); the estimate prefilter "
-        "rides inside the band self-join as a zip_with over the signature "
-        "arrays (no separate wide re-join); exact rescore is array_intersect "
-        "on hashed-long shingle arrays — zero Python end to end.",
+        "rides inside the band self-join as a codegen fold of per-index "
+        "signature comparisons (no interpreted HOF, no separate wide "
+        "re-join); exact rescore is array_intersect on hashed-long shingle "
+        "arrays — zero Python end to end.",
     )
 
     # 8. Embedding-cosine dedup, LSH scale path
@@ -172,12 +173,15 @@ def main():
         "Embedding-cosine dedup (hyperplane sign-band path)",
         cosine_dedup_pairs(emb, threshold=0.4, strategy="lsh", dim=dim),
         "Never a cartesian product: candidates come from same-(band,bucket) "
-        "joins over seeded hyperplane sign bits (pure column math), exact "
-        "cosine re-check inside buckets only.",
+        "joins over seeded hyperplane sign bits (pure column math); exact "
+        "rescore is the Arrow-batched einsum kernel (cosine_rescore), and "
+        "multi-band duplicates are deduped AFTER scoring+threshold on "
+        "id-sized rows — no exchange ships the dim-sized vector pairs.",
     )
 
-    # 9. One BCA loop round against the persisted adjacency
-    from graph_embeddings_spark.bca.cooc import build_adjacency
+    # 9. One BCA loop round against the persisted adjacency — the engine's
+    # own expand_round, so the audited plan IS the shipping plan
+    from graph_embeddings_spark.bca.cooc import build_adjacency, expand_round
 
     edges = spark.createDataFrame(
         [(0, 1, 1, 1.0), (1, 2, 1, 2.0), (2, 0, 1, 1.0)],
@@ -188,21 +192,15 @@ def main():
     wet = spark.createDataFrame(
         [(0, 0, 1.0)], "root long, node long, paint double"
     ).localCheckpoint(eager=True)
-    rnd = (
-        wet.filter(F.col("paint") >= 1e-3)
-        .join(adj, "node")
-        .select("root", F.col("dst").alias("node"),
-                (0.9 * F.col("paint") * F.col("weight") / F.col("wsum")).alias("paint"))
-        .filter(F.col("paint") >= 1e-3)
-        .groupBy("root", "node").agg(F.sum("paint").alias("paint"))
-    )
+    rnd = expand_round(wet.filter(F.col("paint") >= 1e-3), adj, 0.1, 1e-3)
     add(
         "BCA loop round (beyond-memory strategy)",
         rnd,
         "The cached adjacency keeps its repartition('node') partitioning "
-        "(InMemoryTableScan), so a round exchanges only the frontier + the "
-        "merge groupBy — <=2 shuffle exchanges/round, asserted in "
-        "tests/test_plans.py.",
+        "(InMemoryTableScan) and the merge repartitions on node (satisfying "
+        "the groupBy's clustering), so a round runs EXACTLY 1 shuffle "
+        "exchange — and leaves the frontier co-partitioned with the "
+        "adjacency for the next round. Asserted in tests/test_plans.py.",
     )
 
     # 10. Curation suite: stratified sample (zero-shuffle filter) + pack
@@ -218,9 +216,10 @@ def main():
     add(
         "Sequence packing (concat-and-chunk assignment)",
         pack_assignments(docs, capacity=2048),
-        "One global sort on the hash permutation + a running sum: the "
-        "single-window form; at 10^12 docs the same assignment is the "
-        "standard two-pass distributed prefix sum (see pack.py docstring).",
+        "TWO-PASS distributed prefix sum: per-bucket token totals -> "
+        "driver cumsum of P partials -> broadcast offsets -> per-bucket "
+        "parallel window. No single global sort anywhere in the plan; all "
+        "chunk math is integer div.",
     )
 
     # 11. Boilerplate-line removal: one persisted explode feeds both the
