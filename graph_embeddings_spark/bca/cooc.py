@@ -45,6 +45,7 @@ import math
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..config import NORM_COUNTS, NORM_NONE, NORM_UNITY
 
@@ -70,10 +71,17 @@ def build_adjacency(edges: DataFrame, direction: str, salt_degree: int = 0) -> D
         adj = out.unionAll(rev)
     else:
         raise ValueError(f"direction must be out/in/both, got {direction}")
-    # wsum via a partial-agg-friendly groupBy + rejoin (window would sort; this
-    # stays a hash aggregate + shuffle hash join on the same key)
-    wsum = adj.groupBy("node").agg(F.sum("weight").alias("wsum"))
-    flat = adj.join(wsum, "node")
+    # wsum via ONE node-keyed exchange + an unbounded window: the
+    # repartition('node') the loop needs anyway doubles as the window's
+    # clustering, so the whole build is a single full-data shuffle plus a
+    # local sort — the earlier groupBy+rejoin form paid a second full-data
+    # exchange for the join (bench attribution showed the build at ~45% of
+    # the loop path; A/B-measured faster at 10k pages and strictly fewer
+    # exchanges at any scale). Window output keeps hash(node) partitioning,
+    # exactly what the per-round co-partitioned join requires.
+    flat = adj.repartition("node").withColumn(
+        "wsum", F.sum("weight").over(Window.partitionBy("node"))
+    )
     if salt_degree > 0:
         # real salting: partition the adjacency by (node, _salt) so one
         # hub's rows spread over salt_degree partitions; the expansion join
@@ -84,7 +92,8 @@ def build_adjacency(edges: DataFrame, direction: str, salt_degree: int = 0) -> D
             "_salt", F.pmod(F.xxhash64("dst"), F.lit(salt_degree)).cast("int")
         )
         return flat.repartition("node", "_salt")
-    return flat.repartition("node")
+    # already hash(node)-partitioned by the window's repartition above
+    return flat
 
 
 def max_rounds_bound(alpha: float, epsilon: float) -> int:
