@@ -84,7 +84,7 @@ def host_calibration(n_procs: int = 8) -> dict:
     }
 
 
-def run_queries(spark) -> dict[str, float]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, float]]:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
@@ -94,6 +94,7 @@ def run_queries(spark) -> dict[str, float]:
               "events", "documents", "embeddings"):
         spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
     out = {}
+    host = {}
     for name in HEADLINE:
         # one untimed run pays codegen/JIT for this query's plan shape, so
         # the timed run measures steady-state throughput — the same warmup
@@ -103,7 +104,13 @@ def run_queries(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         _force(qs[name](spark, SF_DIR))
         out[name] = round(time.perf_counter() - t0, 3)
-    return out
+        # per-query host snapshot (VERDICT r3 #9): a spin probe taken right
+        # AFTER each timed run, so a query-level regression across rounds is
+        # separable from a co-tenant burst that landed on that query. Probe
+        # runs between timings, never concurrent with one, so it cannot
+        # distort the measurement it annotates.
+        host[name] = host_calibration(n_procs=4)["spin_units_per_sec"]
+    return out, host
 
 
 def run_minhash_attribution(spark) -> dict:
@@ -390,7 +397,7 @@ def main():
     # cores are clamped to the host's measured effective parallelism inside
     # get_spark (session.effective_cores) — local[32] on this VM regresses
     spark = get_spark("bench", cores=CPUS)
-    queries = run_queries(spark)
+    queries, query_host_spin = run_queries(spark)
     minhash_attr = run_minhash_attribution(spark)
     spark.stop()
 
@@ -404,6 +411,7 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "query_host_spin": query_host_spin,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         **minhash_attr,
         # shared-host context: BENCH/BASELINE.md quiet-window reference is
