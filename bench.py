@@ -191,7 +191,9 @@ def run_glove_scale_section(spark, n_entries: int) -> dict:
     raw.unpersist()
     trials = []
     with static_epoch_plan(spark):  # the optimize() loop's static plan
-        for it in range(5):  # enough samples for min() to find the noise floor
+        # 3 per child x 2 alternated children = 6 samples per core count;
+        # min() finds the noise floor across both load windows
+        for it in range(3):
             t0 = time.perf_counter()
             new_params, _obs = train_epoch(
                 cooc, params, dim=32, method="adagrad", cost="glove", max_x=5.0,
@@ -424,18 +426,36 @@ def main():
     # r2 #5: the pipeline section's 63k entries are overhead-bound and
     # anti-scale). N vs 4N cores = 2 vs 8 on this VM (raw-CPU calibration
     # shows ~18 effective cores; counts past 8 measure oversubscription).
-    gs2 = _run_child("glove_scale", 2, PAGES)
-    gs8 = _run_child("glove_scale", 8, PAGES)
+    # ALTERNATED children (2, 8, 2, 8 — the scaling_bench.py discipline):
+    # a co-tenant burst that lands in one core count's window is escaped
+    # by that core count's other child, so load drift across the section
+    # can't masquerade as (anti-)scaling. min over both children per count.
+    gs2a = _run_child("glove_scale", 2, PAGES)
+    gs8a = _run_child("glove_scale", 8, PAGES)
+    gs2b = _run_child("glove_scale", 2, PAGES)
+    gs8b = _run_child("glove_scale", 8, PAGES)
+    t2 = min(gs2a["epoch_sec"], gs2b["epoch_sec"])
+    t8 = min(gs8a["epoch_sec"], gs8b["epoch_sec"])
+    eff = round(t2 / (4 * t8), 3)
+    # in-run raw-CPU ceiling (BENCH/GLOVE_SCALING.md method, inline):
+    # aggregate spin throughput at 2 vs 8 procs bounds the scaling this
+    # shared host can physically deliver RIGHT NOW — efficiency_vs_ceiling
+    # separates engine loss from host (DRAM/co-tenant) loss.
+    spin2 = host_calibration(2)["spin_units_per_sec"]
+    spin8 = host_calibration(8)["spin_units_per_sec"]
+    ceiling = round(spin8 / (4 * spin2), 3)
     result["glove_scale"] = {
-        "entries": gs8["entries"],
-        "n_shards": gs8["n_shards"],
-        "local2_epoch_sec": gs2["epoch_sec"],
-        "local8_epoch_sec": gs8["epoch_sec"],
-        "local2_trials": gs2["trials"],
-        "local8_trials": gs8["trials"],
-        "efficiency_2_to_8": round(gs2["epoch_sec"] / (4 * gs8["epoch_sec"]), 3),
-        "host_local2": gs2["host"],
-        "host_local8": gs8["host"],
+        "entries": gs8a["entries"],
+        "n_shards": gs8a["n_shards"],
+        "local2_epoch_sec": t2,
+        "local8_epoch_sec": t8,
+        "local2_trials": gs2a["trials"] + gs2b["trials"],
+        "local8_trials": gs8a["trials"] + gs8b["trials"],
+        "efficiency_2_to_8": eff,
+        "spin_ceiling_2_to_8": ceiling,
+        "efficiency_vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+        "host_local2": [gs2a["host"], gs2b["host"]],
+        "host_local8": [gs8a["host"], gs8b["host"]],
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
