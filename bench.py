@@ -128,12 +128,15 @@ def run_minhash_attribution(spark) -> dict:
     registry: list = []
     pairs = minhash_lsh_dedup(docs, threshold=0.8, diagnostics=diag, cache_registry=registry)
     # per-stage wall times (VERDICT r3 #4 — 'log what you drop' applied to
-    # time): each count forces one stage; the persisted relations
-    # (hashed shingles, banded signatures) fill on their FIRST consumer, so
-    # stage order matters and each later count measures only its own work.
-    # raw_candidates shares no cache with post_prefilter's distinct, so the
-    # band join itself is counted inside candidates_raw_sec and the
-    # prefilter+distinct delta is candidates_post_prefilter_sec.
+    # time). What each count actually executes:
+    #  * shingle_sig_bandjoin: shingle + signature + banding (fills the
+    #    persisted shingle/banded caches) + one band self-join + distinct.
+    #  * bandjoin_prefilter: a SECOND band self-join over the cached banded
+    #    relation ('candidates' is not downstream of 'candidates_raw' — the
+    #    prefilter applies before the distinct) + codegen prefilter +
+    #    distinct; persisted here so the rescore doesn't run it a third time.
+    #  * exact_rescore: ONLY the shingle-array joins + array_intersect —
+    #    candidates come from the cache just filled.
     stage_sec: dict[str, float] = {}
     t0 = time.perf_counter()
     n_docs = docs.count()
@@ -141,9 +144,11 @@ def run_minhash_attribution(spark) -> dict:
     t0 = time.perf_counter()
     n_raw = diag["candidates_raw"].count()
     stage_sec["shingle_sig_bandjoin"] = round(time.perf_counter() - t0, 3)
+    cand = diag["candidates"].persist()
+    registry.append(cand)
     t0 = time.perf_counter()
-    n_pref = diag["candidates"].count()
-    stage_sec["estimate_prefilter"] = round(time.perf_counter() - t0, 3)
+    n_pref = cand.count()
+    stage_sec["bandjoin_prefilter"] = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     n_final = pairs.count()
     stage_sec["exact_rescore"] = round(time.perf_counter() - t0, 3)
@@ -295,7 +300,7 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
     # r2->r3 'regression' unattributable) — plus the per-round breakdown
     # from the loop diagnostics so cost is attributable to rounds vs the
     # final union-merge.
-    bl_trials, bca_loop_diag = [], {}
+    bl_trials, bl_diags = [], []
     for _ in range(2):
         diag: dict = {}
         t1b = time.perf_counter()
@@ -305,7 +310,11 @@ def run_pipeline_section(spark, n_pages: int) -> dict:
         )
         bl_trials.append(time.perf_counter() - t1b)
         res_loop.cooc.unpersist()
-        bca_loop_diag = diag
+        bl_diags.append(diag)
+    # the breakdown must describe the SAME trial as the headline min —
+    # a burst on the other trial would otherwise leave round_sec summing
+    # to a multiple of bca_loop_sec and defeat the attribution
+    bca_loop_diag = bl_diags[bl_trials.index(min(bl_trials))]
     bca_loop_sec = min(bl_trials)
 
     params = init_params_df(nodes, 32, 42, "adagrad").persist()

@@ -172,12 +172,19 @@ def load_config(path: str) -> PipelineConfig:
     # (`pca:` / `pca: {}`); variance falls back to PcaConfig's default —
     # pca_raw["variance"] would KeyError and `or None` silently disabled it.
     # Explicit opt-outs stay opt-outs: a falsy scalar (`pca: false`,
-    # `pca: 0`) or `pca: {enabled: false}` disables; any other scalar
-    # (e.g. `pca: true`) or mapping/null enables.
+    # `pca: 0`) or a falsy non-null `enabled:` inside the block
+    # (`enabled: false`, `enabled: 0` — same falsy convention both
+    # spellings) disables; any other scalar (e.g. `pca: true`) or
+    # mapping/null enables.
     pca_val = raw.get("pca")
     pca_enabled = "pca" in raw and not (
         (pca_val is not None and not isinstance(pca_val, dict) and not pca_val)
-        or (isinstance(pca_val, dict) and pca_val.get("enabled") is False)
+        or (
+            isinstance(pca_val, dict)
+            and "enabled" in pca_val
+            and pca_val["enabled"] is not None
+            and not pca_val["enabled"]
+        )
     )
     pca_raw = pca_val if isinstance(pca_val, dict) else {}
     bca_raw = raw.get("bca", {}) or {}

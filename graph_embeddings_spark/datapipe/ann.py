@@ -54,15 +54,44 @@ def cosine_rescore(df: DataFrame, a_col: str, b_col: str, out_col: str = "cos") 
 
     def gen(batches):
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 pdf[out_col] = pd.Series([], dtype="float64")
-            else:
-                a = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
-                b = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+                yield pdf[cols]
+                continue
+            av = pdf[a_col].to_numpy()
+            bv = pdf[b_col].to_numpy()
+            # null-semantics parity with cosine_col: a NULL array or a
+            # length mismatch yields cos NULL (zip_with+aggregate do the
+            # same) instead of crashing np.stack on the whole batch
+            lens = np.fromiter(
+                (
+                    len(x) if x is not None and y is not None and len(x) == len(y) else -1
+                    for x, y in zip(av, bv)
+                ),
+                dtype=np.int64,
+                count=n,
+            )
+            out = np.full(n, np.nan)
+            for d in np.unique(lens[lens >= 0]):
+                m = lens == d
+                a = np.stack(av[m]).astype(np.float64)
+                b = np.stack(bv[m]).astype(np.float64)
                 dots = np.einsum("ij,ij->i", a, b)
                 na = np.linalg.norm(a, axis=1)
                 nb = np.linalg.norm(b, axis=1)
-                pdf[out_col] = dots / (na * nb + 1e-12)
+                out[m] = dots / (na * nb + 1e-12)
+            # NaN (invalid rows, or NULL elements inside an array) -> SQL
+            # NULL: Spark sorts NaN ABOVE every double, so a NaN cos would
+            # WIN a desc-rank window; the column form returns NULL, which
+            # desc-sorts last and is dropped by threshold filters
+            if np.isfinite(out).all():
+                pdf[out_col] = out  # fast path: one rectangular batch
+            else:
+                pdf[out_col] = pd.Series(
+                    [float(v) if np.isfinite(v) else None for v in out],
+                    index=pdf.index, dtype=object,
+                )
             yield pdf[cols]
 
     return df.mapInPandas(gen, out_schema)

@@ -42,6 +42,7 @@ def pack_assignments(
     id_col: str = "doc_id",
     seed: int = 42,
     num_partitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """-> (doc_id, n_tokens, start_offset, chunk_first, chunk_last).
 
@@ -58,6 +59,14 @@ def pack_assignments(
     per-bucket running sums concatenate into the global prefix sum.
     Ties across the (hash, id) order never straddle buckets because equal
     hashes land in the same bucket by construction.
+
+    EAGER: pass 1 (the per-bucket totals collect) runs when this function
+    is CALLED, not when the result executes — broadcast offsets cannot be
+    deferred. The keyed relation is persisted so pass 2 re-reads the SAME
+    materialized rows pass 1 summed; without it, a nondeterministic
+    upstream (rand-derived filters, files changing between construction
+    and execution) could hand the two passes different rows and silently
+    corrupt every offset. Callers pass cache_registry to unpersist.
     """
     spark = docs.sparkSession
     if num_partitions is None:
@@ -70,10 +79,13 @@ def pack_assignments(
         n_tok,
         h.alias("_h"),
         F.least(F.floor(h * p), F.lit(p - 1)).cast("int").alias("_pid"),
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.append(keyed)
 
     # pass 1: one token total per bucket (driver-small: p longs), turned
-    # into exclusive prefix offsets and broadcast back
+    # into exclusive prefix offsets and broadcast back; this collect also
+    # materializes the cache pass 2 reads
     totals = {
         r["_pid"]: r["_t"]
         for r in keyed.groupBy("_pid").agg(F.sum("n_tokens").alias("_t")).collect()

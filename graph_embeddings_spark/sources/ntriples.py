@@ -73,9 +73,7 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
         .otherwise(F.lit(2))
         .cast("tinyint")
     )
-    # lexical form: drop closing quote + suffix, opening quote
-    lex = F.regexp_replace(obj_raw, r"\"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$", "")
-    lex = F.regexp_replace(lex, r"^\"", "")
+    lex = _lex_of(obj_raw)
     is_lit = ~obj_raw.startswith("<") & ~obj_raw.startswith("_:")
     # numeric escapes can't be decoded column-side, escaped backslashes
     # would make independent per-escape replaces order-unsafe, and INVALID
@@ -130,6 +128,16 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
 _VALID_ESC_RE = r"\\(?:[tbnrf\"'\\]|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
 
 
+def _lex_of(obj_raw):
+    """Literal lexical form: drop the closing quote + @lang/^^<dt> suffix,
+    then the opening quote. Shared by parse_ntriples and parse_errors so
+    the bad-escape predicate runs on the SAME string in both — a backslash
+    in a datatype IRI (discarded by the lexical projection) must neither
+    drop the triple nor double-report it as an error."""
+    lex = F.regexp_replace(obj_raw, r"\"(@[A-Za-z0-9-]+|\^\^<[^>]*>)?$", "")
+    return F.regexp_replace(lex, r"^\"", "")
+
+
 def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:
     """Lines that are neither parseable, comments, nor blank — PLUS lines
     whose literal carries an invalid escape sequence (the grammar regex
@@ -142,7 +150,7 @@ def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:
         ok
         & ~obj_raw.startswith("<")
         & ~obj_raw.startswith("_:")
-        & F.regexp_replace(obj_raw, _VALID_ESC_RE, "").contains("\\")
+        & F.regexp_replace(_lex_of(obj_raw), _VALID_ESC_RE, "").contains("\\")
     )
     ignorable = (F.trim(line) == "") | F.trim(line).startswith("#")
     return lines.filter((~ok & ~ignorable) | bad_escape)

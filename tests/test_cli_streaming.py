@@ -234,6 +234,9 @@ def test_load_config_pca_explicit_optout(tmp_path):
             ("pca: false\n", False),
             ("pca: 0\n", False),
             ("pca:\n  enabled: false\n", False),
+            ("pca:\n  enabled: 0\n", False),  # int-0 spelling, same convention
+            ("pca:\n  enabled: true\n", True),
+            ("pca:\n  enabled:\n", True),  # null enabled = not an opt-out
             ("pca: true\n", True),
             ("pca:\n", True),
             ("pca: {}\n", True),

@@ -108,6 +108,26 @@ def test_cosine_rescore_matches_column_form(spark):
         assert abs(got[i] - ref[i]) < 1e-12, (i, got[i], ref[i])
 
 
+def test_cosine_rescore_null_and_ragged_rows(spark):
+    """A NULL embedding or a length-mismatched pair must yield cos NULL
+    (the column form's zip_with/aggregate semantics), never crash the
+    Arrow batch or emit NaN — Spark sorts NaN ABOVE every double, so a
+    NaN cos would win desc-rank top-k windows."""
+    from graph_embeddings_spark.datapipe.ann import cosine_rescore
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),   # valid -> 1.0
+        (1, None, [1.0, 0.0, 0.0]),               # null a -> NULL
+        (2, [1.0, 0.0, 0.0], None),               # null b -> NULL
+        (3, [1.0, 0.0], [1.0, 0.0, 0.0]),         # ragged -> NULL
+        (4, [0.0, 1.0], [0.0, 1.0]),              # valid, other dim -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "id long, va array<float>, vb array<float>")
+    got = {r["id"]: r["cos"] for r in cosine_rescore(df, "va", "vb").collect()}
+    assert abs(got[0] - 1.0) < 1e-9 and abs(got[4] - 1.0) < 1e-9
+    assert got[1] is None and got[2] is None and got[3] is None
+
+
 def test_cosine_dedup_lsh_recall_vs_brute(spark):
     """The sign-band scale path must recover (nearly) every brute pair:
     clustered vectors (5 clusters x 4 near-identical members) make the true

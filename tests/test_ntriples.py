@@ -98,9 +98,17 @@ def test_bad_escape_rows_show_in_parse_errors(spark):
         # here — previously it was emitted raw while also flagged as an
         # error, so one line appeared in both outputs
         '<http://ex/i> <http://ex/p> "bad\\x escape" .',
+        # backslash in the DATATYPE IRI, lexical form clean: the lexical
+        # projection discards the datatype, so the triple is emitted —
+        # parse_errors must judge the same suffix-stripped lex, not the
+        # raw object, or this line double-reports
+        '<http://ex/j> <http://ex/p> "v"^^<http://ex/d\\x> .',
     ]
     df = spark.createDataFrame([(l,) for l in lines], "value string")
     errs = [r["value"] for r in parse_errors(df).collect()]
     assert len(errs) == 2 and all("bad" in e for e in errs)
     got = {r["subj"] for r in parse_ntriples(df).collect()}
-    assert got == {"http://ex/g", "http://ex/h"}
+    assert got == {"http://ex/g", "http://ex/h", "http://ex/j"}
+    # disjointness: no line appears in both the triples and error outputs
+    emitted_lines = {l for l in lines if any(l.startswith(f"<{s}>") for s in got)}
+    assert not set(errs) & emitted_lines
