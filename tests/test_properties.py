@@ -98,3 +98,56 @@ def test_unity_normalization_sums_to_one(spark, entries):
         s, kk = sums[root]
         assert kk == k
         assert abs(s - (1.0 - k * 1e-6)) < 1e-9
+
+
+_esc_body = st.text(
+    alphabet="ab\\tunUx0F9 ",  # backslashes forming valid AND invalid escapes
+    min_size=0, max_size=12,
+)
+_line_kind = st.sampled_from(["lit", "iri", "dt_backslash", "garbage", "blank", "comment"])
+
+
+@_slow
+@given(st.lists(st.tuples(_line_kind, _esc_body), min_size=1, max_size=40))
+def test_ntriples_errors_and_triples_partition_the_input(spark, specs):
+    """No-silent-drops contract as a PARTITION property: every line is
+    (a) ignorable (blank/comment), (b) emitted as exactly one triple, or
+    (c) reported by parse_errors — never both (b) and (c), never neither.
+    Exercises the shared suffix-stripped-lex predicate (_lex_of): raw
+    backslash soup in the literal body must land in exactly one side, and
+    a backslash confined to a datatype IRI must not shadow-report a
+    clean lexical form."""
+    from graph_embeddings_spark.sources.ntriples import parse_errors
+
+    lines = []
+    for i, (kind, body) in enumerate(specs):
+        subj = f"http://x/s{i}"
+        if kind == "lit":
+            lines.append(f'<{subj}> <http://x/p> "{body}" .')
+        elif kind == "iri":
+            lines.append(f"<{subj}> <http://x/p> <http://x/o> .")
+        elif kind == "dt_backslash":
+            lines.append(f'<{subj}> <http://x/p> "v"^^<http://x/d\\broken> .')
+        elif kind == "garbage":
+            lines.append(f"<{subj}> not a triple")
+        elif kind == "blank":
+            lines.append("   ")
+        else:
+            lines.append(f"# comment {i}")
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    emitted = {r["subj"] for r in parse_ntriples(df).collect()}
+    errs = [r["value"] for r in parse_errors(df).collect()]
+    from collections import Counter
+    err_counts = Counter(errs)
+    for i, (kind, body) in enumerate(specs):
+        line, subj = lines[i], f"http://x/s{i}"
+        if kind in ("blank", "comment"):
+            assert subj not in emitted and err_counts[line] == 0
+            continue
+        in_triples = subj in emitted
+        in_errors = err_counts[line] > 0
+        assert in_triples != in_errors, (line, in_triples, in_errors)
+        if kind in ("iri", "dt_backslash"):
+            assert in_triples, line
+        if kind == "garbage":
+            assert in_errors, line
