@@ -23,6 +23,20 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 STOPWORDS_EN = ["the", "of", "and", "a", "an", "to", "in", "is", "that", "it", "for", "on"]
 
+# a whole whitespace-delimited token equal to a stopword; (?:^|(?<=\s)) /
+# (?:(?=\s)|$) are zero-width so adjacent single-char tokens ("a a") both
+# count, and Java backtracks into the alternation when the lookahead fails
+# ("an": "a" fails the lookahead, "an" then matches)
+_STOPWORD_RE = r"(?:^|(?<=\s))(?:" + "|".join(STOPWORDS_EN) + r")(?:(?=\s)|$)"
+
+
+def stopword_count_hof_col(c):
+    """REFERENCE FORM ONLY: interpreted filter/array_contains HOF count of
+    stopword tokens — the parity oracle for the codegen _STOPWORD_RE
+    regexp_count in quality_features; not used in any shipping path."""
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    return F.size(F.filter(tokens_col(c), lambda x: F.array_contains(stop_arr, x)))
+
 
 def tokens_col(c):
     return F.split(F.lower(F.trim(c)), r"\s+")
@@ -64,12 +78,18 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """-> doc_id, n_chars, n_tokens, mean_token_len, punct_ratio,
     stopword_ratio, quality (composite in [0,1])."""
     t = F.col(text_col)
-    toks = tokens_col(t)
     n_tok = token_count_col(t)
     n_chars = F.length(t)
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    # stopword occurrences in ONE codegen regexp pass. The whitespace
+    # lookarounds replicate tokens_col's \s+ split exactly (same Java
+    # ASCII \s on both sides), so a match is precisely a token that EQUALS
+    # a stopword — "the," or "android" never match. The interpreted
+    # filter/array_contains HOF form this replaces is kept as the parity
+    # oracle (stopword_count_hof_col, tests/test_datapipe.py): per token it
+    # ran an interpreted lambda + a 12-element array scan, the measured
+    # ~16 µs/element anti-pattern in a per-document hot path.
+    n_stop = F.regexp_count(F.lower(F.trim(t)), F.lit(_STOPWORD_RE))
     mean_len = F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))) / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))

@@ -199,6 +199,40 @@ def test_quality_features(spark):
     assert got[1]["n_tokens"] == 0 and got[1]["quality"] == 0.0
 
 
+def test_stopword_regex_matches_hof_oracle(spark):
+    """The codegen _STOPWORD_RE regexp_count must agree with the interpreted
+    filter/array_contains HOF form it replaced, on adversarial shapes:
+    stopwords as prefixes of non-stopwords, punctuation-glued tokens,
+    adjacent single-char tokens, leading/trailing/stacked whitespace, mixed
+    case, tabs/newlines, and empty text."""
+    from graph_embeddings_spark.datapipe.textstats import (
+        _STOPWORD_RE, STOPWORDS_EN, stopword_count_hof_col,
+    )
+
+    texts = [
+        "the cat is on a mat",
+        "THE Theater thesis android band",   # prefixes must not match
+        "a a an an  a",                       # adjacent short tokens
+        "  the\tof\nand  ",                   # mixed whitespace + edges
+        "the, of. and! a?",                   # punctuation-glued: no matches
+        "is",                                 # single stopword, no spaces
+        "",
+        "that it for on to in of the and an a is " * 3,
+        " ".join(STOPWORDS_EN),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["re_n"], r["hof_n"])
+        for r in df.select(
+            "doc_id",
+            F.regexp_count(F.lower(F.trim(F.col("text"))), F.lit(_STOPWORD_RE)).alias("re_n"),
+            stopword_count_hof_col(F.col("text")).alias("hof_n"),
+        ).collect()
+    }
+    for i, (re_n, hof_n) in got.items():
+        assert re_n == hof_n, (i, texts[i], re_n, hof_n)
+
+
 def test_fingerprints_norm_invariance(spark):
     docs = spark.createDataFrame(
         [(0, "Hello  World"), (1, "hello world"), (2, "other")], "doc_id long, text string"
