@@ -439,19 +439,24 @@ def main():
     # a co-tenant burst that lands in one core count's window is escaped
     # by that core count's other child, so load drift across the section
     # can't masquerade as (anti-)scaling. min over both children per count.
+    # in-run raw-CPU ceiling (BENCH/GLOVE_SCALING.md method, inline):
+    # aggregate spin throughput at 2 vs 8 procs bounds the scaling this
+    # shared host can physically deliver DURING this section —
+    # efficiency_vs_ceiling separates engine loss from host (DRAM/
+    # co-tenant) loss. Probed before AND after the children; co-tenant
+    # load only ever LOWERS spin throughput, so max per proc count is the
+    # noise-floor estimator (the min-time discipline applied to rates).
+    spin2 = host_calibration(2)["spin_units_per_sec"]
+    spin8 = host_calibration(8)["spin_units_per_sec"]
     gs2a = _run_child("glove_scale", 2, PAGES)
     gs8a = _run_child("glove_scale", 8, PAGES)
     gs2b = _run_child("glove_scale", 2, PAGES)
     gs8b = _run_child("glove_scale", 8, PAGES)
+    spin2 = max(spin2, host_calibration(2)["spin_units_per_sec"])
+    spin8 = max(spin8, host_calibration(8)["spin_units_per_sec"])
     t2 = min(gs2a["epoch_sec"], gs2b["epoch_sec"])
     t8 = min(gs8a["epoch_sec"], gs8b["epoch_sec"])
     eff = round(t2 / (4 * t8), 3)
-    # in-run raw-CPU ceiling (BENCH/GLOVE_SCALING.md method, inline):
-    # aggregate spin throughput at 2 vs 8 procs bounds the scaling this
-    # shared host can physically deliver RIGHT NOW — efficiency_vs_ceiling
-    # separates engine loss from host (DRAM/co-tenant) loss.
-    spin2 = host_calibration(2)["spin_units_per_sec"]
-    spin8 = host_calibration(8)["spin_units_per_sec"]
     ceiling = round(spin8 / (4 * spin2), 3)
     result["glove_scale"] = {
         "entries": gs8a["entries"],
