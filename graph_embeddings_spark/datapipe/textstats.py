@@ -8,6 +8,8 @@ no shuffle at all until the caller aggregates.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic;
@@ -26,14 +28,26 @@ STOPWORDS_EN = ["the", "of", "and", "a", "an", "to", "in", "is", "that", "it", "
 # a whole whitespace-delimited token equal to a stopword; (?:^|(?<=\s)) /
 # (?:(?=\s)|$) are zero-width so adjacent single-char tokens ("a a") both
 # count, and Java backtracks into the alternation when the lookahead fails
-# ("an": "a" fails the lookahead, "an" then matches)
-_STOPWORD_RE = r"(?:^|(?<=\s))(?:" + "|".join(STOPWORDS_EN) + r")(?:(?=\s)|$)"
+# ("an": "a" fails the lookahead, "an" then matches). re.escape keeps the
+# alternation structural if the list ever gains a regex metacharacter.
+_STOPWORD_RE = (
+    r"(?:^|(?<=\s))(?:"
+    + "|".join(re.escape(s) for s in STOPWORDS_EN)
+    + r")(?:(?=\s)|$)"
+)
+
+
+def stopword_count_col(c):
+    """Stopword-token occurrences in ONE codegen regexp pass — the shipping
+    form used by quality_features; parity-tested against the interpreted
+    HOF oracle below."""
+    return F.regexp_count(F.lower(F.trim(c)), F.lit(_STOPWORD_RE))
 
 
 def stopword_count_hof_col(c):
     """REFERENCE FORM ONLY: interpreted filter/array_contains HOF count of
-    stopword tokens — the parity oracle for the codegen _STOPWORD_RE
-    regexp_count in quality_features; not used in any shipping path."""
+    stopword tokens — the parity oracle for stopword_count_col; not used
+    in any shipping path."""
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_EN])
     return F.size(F.filter(tokens_col(c), lambda x: F.array_contains(stop_arr, x)))
 
@@ -81,15 +95,14 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = token_count_col(t)
     n_chars = F.length(t)
     n_punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    # stopword occurrences in ONE codegen regexp pass. The whitespace
-    # lookarounds replicate tokens_col's \s+ split exactly (same Java
-    # ASCII \s on both sides), so a match is precisely a token that EQUALS
-    # a stopword — "the," or "android" never match. The interpreted
-    # filter/array_contains HOF form this replaces is kept as the parity
-    # oracle (stopword_count_hof_col, tests/test_datapipe.py): per token it
-    # ran an interpreted lambda + a 12-element array scan, the measured
-    # ~16 µs/element anti-pattern in a per-document hot path.
-    n_stop = F.regexp_count(F.lower(F.trim(t)), F.lit(_STOPWORD_RE))
+    # ONE codegen regexp pass; the whitespace lookarounds replicate
+    # tokens_col's \s+ split exactly (same Java ASCII \s on both sides),
+    # so a match is precisely a token that EQUALS a stopword — "the," or
+    # "android" never match. Replaces the interpreted filter/
+    # array_contains HOF (kept as stopword_count_hof_col, parity-tested):
+    # per token it ran an interpreted lambda + a 12-element array scan,
+    # the measured ~16 µs/element anti-pattern in a per-document hot path.
+    n_stop = stopword_count_col(t)
     mean_len = F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))) / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))

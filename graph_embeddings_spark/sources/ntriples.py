@@ -127,6 +127,12 @@ def parse_ntriples(lines: DataFrame, col: str = "value") -> DataFrame:
 # deleting every VALID escape and checking whether a backslash remains
 _VALID_ESC_RE = r"\\(?:[tbnrf\"'\\]|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
 
+# a syntactically valid \UXXXXXXXX whose codepoint exceeds 0x10FFFF —
+# chr() raises and parse_ntriples drops the row, so parse_errors must
+# report it (the second disjunct of the drop predicate). Valid range
+# 00000000..0010FFFF is exactly "00" + ("0"+hex | "10") + 4 hex.
+_U_OUT_OF_RANGE_RE = r"\\U(?!00(?:0[0-9A-Fa-f]|10)[0-9A-Fa-f]{4})[0-9A-Fa-f]{8}"
+
 
 def _lex_of(obj_raw):
     """Literal lexical form: drop the closing quote + @lang/^^<dt> suffix,
@@ -146,11 +152,18 @@ def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:
     line = F.col(col)
     obj_raw = F.regexp_extract(line, _TRIPLE_RE, 3)
     ok = F.regexp_extract(line, _TRIPLE_RE, 1) != ""
+    lex = _lex_of(obj_raw)
     bad_escape = (
         ok
         & ~obj_raw.startswith("<")
         & ~obj_raw.startswith("_:")
-        & F.regexp_replace(_lex_of(obj_raw), _VALID_ESC_RE, "").contains("\\")
+        & (
+            F.regexp_replace(lex, _VALID_ESC_RE, "").contains("\\")
+            # escaped-backslash pairs deleted FIRST (left-to-right, the
+            # decoder's consumption order) so literal "\\U12345678" text
+            # is not mistaken for an out-of-range UCHAR escape
+            | F.regexp_replace(lex, r"\\\\", "").rlike(_U_OUT_OF_RANGE_RE)
+        )
     )
     ignorable = (F.trim(line) == "") | F.trim(line).startswith("#")
     return lines.filter((~ok & ~ignorable) | bad_escape)

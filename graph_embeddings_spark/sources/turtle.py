@@ -57,6 +57,20 @@ class TurtleSyntaxError(ValueError):
     pass
 
 
+_HEX_DIGITS = set("0123456789abcdefABCDEF")
+
+
+def _hexval(s: str, start: int, width: int) -> int:
+    """Exactly `width` hex digits or raise. int(x, 16) alone is LENIENT —
+    it accepts short slices ('\\ua' -> int('a')), whitespace padding and
+    even '0x' prefixes — which silently mis-decodes truncated UCHAR
+    escapes the grammar (and _VALID_ESC_RE in ntriples.py) rejects."""
+    h = s[start : start + width]
+    if len(h) != width or any(ch not in _HEX_DIGITS for ch in h):
+        raise TurtleSyntaxError(f"bad numeric escape {h!r} (need {width} hex digits)")
+    return int(h, 16)
+
+
 def _unescape(s: str) -> str:
     out = []
     i, n = 0, len(s)
@@ -70,10 +84,12 @@ def _unescape(s: str) -> str:
             raise TurtleSyntaxError("dangling escape")
         e = s[i + 1]
         if e == "u":
-            out.append(chr(int(s[i + 2 : i + 6], 16)))
+            out.append(chr(_hexval(s, i + 2, 4)))
             i += 6
         elif e == "U":
-            out.append(chr(int(s[i + 2 : i + 10], 16)))
+            # chr() raises ValueError past 0x10FFFF; callers treat it the
+            # same as TurtleSyntaxError (drop-and-report contract)
+            out.append(chr(_hexval(s, i + 2, 8)))
             i += 10
         elif e in _UNESCAPES:
             out.append(_UNESCAPES[e])

@@ -206,7 +206,7 @@ def test_stopword_regex_matches_hof_oracle(spark):
     adjacent single-char tokens, leading/trailing/stacked whitespace, mixed
     case, tabs/newlines, and empty text."""
     from graph_embeddings_spark.datapipe.textstats import (
-        _STOPWORD_RE, STOPWORDS_EN, stopword_count_hof_col,
+        STOPWORDS_EN, stopword_count_col, stopword_count_hof_col,
     )
 
     texts = [
@@ -225,7 +225,9 @@ def test_stopword_regex_matches_hof_oracle(spark):
         r["doc_id"]: (r["re_n"], r["hof_n"])
         for r in df.select(
             "doc_id",
-            F.regexp_count(F.lower(F.trim(F.col("text"))), F.lit(_STOPWORD_RE)).alias("re_n"),
+            # the SHIPPING helper quality_features consumes — not an inline
+            # copy of its expression, so divergence fails this oracle
+            stopword_count_col(F.col("text")).alias("re_n"),
             stopword_count_hof_col(F.col("text")).alias("hof_n"),
         ).collect()
     }

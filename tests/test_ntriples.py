@@ -103,12 +103,26 @@ def test_bad_escape_rows_show_in_parse_errors(spark):
         # parse_errors must judge the same suffix-stripped lex, not the
         # raw object, or this line double-reports
         '<http://ex/j> <http://ex/p> "v"^^<http://ex/d\\x> .',
+        # TRUNCATED \\u escape: int('a',16) is a silent mis-decode ('\\n');
+        # the strict hex check must drop it AND parse_errors must report it
+        '<http://ex/k> <http://ex/p> "bad\\ua tail" .',
+        # syntactically valid \\U past 0x10FFFF: chr() raises, the row is
+        # dropped — parse_errors' range disjunct must report it
+        '<http://ex/l> <http://ex/p> "bad\\U7FFFFFFF" .',
+        # valid astral-plane \\U escape: emitted, not reported
+        '<http://ex/m> <http://ex/p> "ok \\U0001F600" .',
+        # ESCAPED BACKSLASH followed by literal U12345678: decodes to
+        # literal text — must not be mistaken for an out-of-range UCHAR
+        '<http://ex/n> <http://ex/p> "ok \\\\U12345678" .',
     ]
     df = spark.createDataFrame([(l,) for l in lines], "value string")
     errs = [r["value"] for r in parse_errors(df).collect()]
-    assert len(errs) == 2 and all("bad" in e for e in errs)
-    got = {r["subj"] for r in parse_ntriples(df).collect()}
-    assert got == {"http://ex/g", "http://ex/h", "http://ex/j"}
+    assert len(errs) == 4 and all("bad" in e for e in errs)
+    got = {r["subj"]: r["obj"] for r in parse_ntriples(df).collect()}
+    assert set(got) == {"http://ex/g", "http://ex/h", "http://ex/j",
+                        "http://ex/m", "http://ex/n"}
+    assert got["http://ex/m"] == "ok \U0001F600"
+    assert got["http://ex/n"] == "ok \\U12345678"
     # disjointness: no line appears in both the triples and error outputs
     emitted_lines = {l for l in lines if any(l.startswith(f"<{s}>") for s in got)}
     assert not set(errs) & emitted_lines
