@@ -1,8 +1,14 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE COMPACT JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {...per-query sec...}, "sf": <sf>,
-     "triples_per_sec": ..., "glove_epoch_sec": ..., "pages": N}
+     "queries": {...per-query sec...}, "queries_norm": {...host-
+     normalized sec...}, "sf": <sf>, "triples_per_sec": ...,
+     "glove_epoch_sec": ..., "glove_scale": {...N-vs-4N efficiency...}}
+
+and writes the COMPLETE result (trial arrays, per-stage breakdowns,
+per-query host spin, child-JVM host snapshots) to BENCH/last_run.json —
+the printed line is sized to survive the round driver's bounded
+stdout-tail capture (r04's full-result line did not: parsed null).
 
 Env knobs:
     SPARK_GRAFT_SF_DIR   table dir (default /root/testdata/sf0.1)
@@ -415,6 +421,16 @@ def main():
     # get_spark (session.effective_cores) — local[32] on this VM regresses
     spark = get_spark("bench", cores=CPUS)
     queries, query_host_spin = run_queries(spark)
+    # host-normalized seconds alongside raw (VERDICT r4 #7): sec scaled by
+    # (that query's concurrent spin throughput / the quiet-window reference
+    # from BENCH/BASELINE.md). Co-tenant load LOWERS spin and INFLATES raw
+    # seconds proportionally for CPU-bound work, so norm_sec estimates the
+    # quiet-host time and cross-round per-query deltas self-adjudicate
+    # (e.g. r3->r4's spurious lang_id +9% was a 2.36-vs-3.8 spin window).
+    REF_SPIN = 4.1
+    queries_norm = {
+        k: round(v * query_host_spin[k] / REF_SPIN, 3) for k, v in queries.items()
+    }
     minhash_attr = run_minhash_attribution(spark)
     spark.stop()
 
@@ -428,6 +444,7 @@ def main():
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
+        "queries_norm": queries_norm,
         "query_host_spin": query_host_spin,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         **minhash_attr,
@@ -494,7 +511,48 @@ def main():
             "local8_glove_epoch_sec": scaling["local[8]"]["glove_epoch_sec"],
         }
 
-    print(json.dumps(result))
+    # the COMPLETE result goes to disk: r04's single giant JSON line outgrew
+    # the round driver's bounded stdout-tail capture and the authoritative
+    # artifact recorded parsed:null. The printed line below is a compact
+    # subset (trial arrays / per-stage breakdowns / host snapshots live only
+    # in the file) sized to always fit a tail buffer.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+    gs = result["glove_scale"]
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": result["sf"],
+        "queries": queries,
+        "queries_norm": queries_norm,
+        "pages": result["pages"],
+        "n_triples": result["n_triples"],
+        "extract_sec": result["extract_sec"],
+        "triples_per_sec": result["triples_per_sec"],
+        "pages_per_sec": result["pages_per_sec"],
+        "bca_sec": result["bca_sec"],
+        "bca_loop_sec": result["bca_loop_sec"],
+        "cooc_entries": result["cooc_entries"],
+        "glove_epoch_sec": result["glove_epoch_sec"],
+        "minhash_candidates_raw": result["minhash_candidates_raw"],
+        "minhash_pairs_final": result["minhash_pairs_final"],
+        "host_spin": result["host"]["spin_units_per_sec"],
+        "glove_scale": {
+            k: gs[k]
+            for k in (
+                "entries", "n_shards", "local2_epoch_sec", "local8_epoch_sec",
+                "efficiency_2_to_8", "spin_ceiling_2_to_8", "efficiency_vs_ceiling",
+            )
+        },
+        "full": "BENCH/last_run.json",
+    }
+    if "scaling" in result:
+        compact["scaling"] = result["scaling"]
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
