@@ -48,7 +48,14 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def char_ngrams_distinct(c, k: int = 3):
-    """Distinct char k-grams of the normalized text (JVM sequence/transform)."""
+    """Distinct char k-grams of the normalized text (JVM sequence/transform).
+
+    REFERENCE FORM ONLY: higher-order functions run interpreted (~16 µs per
+    element measured), so at corpus scale this was the dominant shingling
+    cost. Kept as the parity oracle for `hashed_shingles` (for k <= 8 the
+    numpy kernel's hash is a bijection of the byte k-gram, so jaccard over
+    the two forms is IDENTICAL on ASCII text — tested in test_datapipe);
+    not used in any shipping path."""
     s = norm_text_col(c)
     n = F.length(s) - (k - 1)
     idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
@@ -86,10 +93,16 @@ def ngram_jaccard_pairs(
     whose similarity lives only in dropped shingles are missed (the
     documented trade); computing sizes unfiltered would instead
     systematically UNDERestimate every pair sharing a dropped shingle.
-    None = exact."""
-    sh = docs.select(
-        F.col("doc_id").alias("id"), F.explode(char_ngrams_distinct(F.col("text"), k)).alias("sh")
-    )
+    None = exact.
+
+    Shingling runs through the Arrow-batched numpy kernel (hashed_shingles
+    — VERDICT r4 #3; char_ngrams_distinct is its parity oracle): the join/
+    groupBy pipeline below is unchanged but keys are primitive longs, and
+    for k <= 8 the hash is injective so the jaccard is EXACT, not an
+    approximation (byte-grams == char-grams on ASCII; byte-level shingling
+    on multi-byte UTF-8, documented in _shingle_hashes_np)."""
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    sh = hashed_shingles(docs, k, n_part).select("id", F.explode("_sh").alias("sh"))
     if max_df is not None:
         keep = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= max_df)
         sh = sh.join(keep.select("sh"), "sh")
@@ -151,8 +164,12 @@ def _shingle_hashes_np(text: str, k: int):
     return np.unique(z).view(np.int64)
 
 
-def hashed_shingles(docs: DataFrame, k: int, n_part: int) -> DataFrame:
-    """documents -> (id, _sh array<long>): Arrow-batched numpy shingler.
+def hashed_shingles(
+    docs: DataFrame, k: int, n_part: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id_col, text_col) -> (id, _sh array<long>): Arrow-batched numpy
+    shingler — the single candidate-generation shingle kernel (MinHash
+    dedup, ngram-jaccard blocking, J1 canonicalization).
 
     This is deliberately a Python stage: Spark's higher-order functions are
     INTERPRETED (measured ~16 μs per element — 4.7 s for 1000 300-char
@@ -166,14 +183,14 @@ def hashed_shingles(docs: DataFrame, k: int, n_part: int) -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame(
                 {
-                    "id": pdf["doc_id"],
-                    "_sh": [_shingle_hashes_np(t or "", k) for t in pdf["text"]],
+                    "id": pdf[id_col],
+                    "_sh": [_shingle_hashes_np(t or "", k) for t in pdf[text_col]],
                 }
             )
 
     return (
-        docs.repartition(n_part, "doc_id")
-        .select("doc_id", "text")
+        docs.repartition(n_part, id_col)
+        .select(id_col, text_col)
         .mapInPandas(gen, "id long, _sh array<long>")
     )
 

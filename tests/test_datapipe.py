@@ -595,3 +595,50 @@ def test_contamination_check_detects_verbatim_overlap(spark):
     assert got[1]["overlap"] < 0.2  # no shared >=8-char substring families
     assert got[2]["n_hit"] > 0 and got[2]["overlap"] > 0.4  # quoted verbatim
     # winnowing guarantee: the quoting doc shares fingerprints
+
+
+def test_hashed_shingles_jaccard_matches_column_form(spark):
+    """For k <= 8 the numpy shingle hash is a bijection of the byte k-gram
+    (injective base-256 code + bijective splitmix64 finalizer), so jaccard
+    over hashed shingles EQUALS jaccard over char_ngrams_distinct on ASCII
+    text — the parity that lets ngram_jaccard_pairs and the J1
+    canonicalization block on the vectorized kernel while the column form
+    stays the oracle."""
+    from pyspark.sql import functions as F
+
+    from graph_embeddings_spark.datapipe.dedup import char_ngrams_distinct, hashed_shingles
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over a lazy dog",
+        "  Mixed   CASE   and	whitespace  runs ",
+        "ab",          # shorter than k -> empty shingle set
+        "",
+        "aaaaaaa",     # degenerate repeats -> single distinct shingle
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for k in (3, 5):
+        col_sets = {
+            r["doc_id"]: set(r["sh"])
+            for r in docs.select(
+                "doc_id", char_ngrams_distinct(F.col("text"), k).alias("sh")
+            ).collect()
+        }
+        hash_sets = {
+            r["id"]: set(r["_sh"])
+            for r in hashed_shingles(docs, k, 2).collect()
+        }
+        for i in range(len(texts)):
+            a_col, a_hash = col_sets[i], hash_sets[i]
+            # set SIZES match (bijection) ...
+            assert len(a_col) == len(a_hash), (k, i)
+            # ... and pairwise jaccard matches exactly
+            for j in range(i + 1, len(texts)):
+                b_col, b_hash = col_sets[j], hash_sets[j]
+                uc = len(a_col | b_col)
+                jac_col = len(a_col & b_col) / uc if uc else 0.0
+                uh = len(a_hash | b_hash)
+                jac_hash = len(a_hash & b_hash) / uh if uh else 0.0
+                assert jac_col == jac_hash, (k, i, j, jac_col, jac_hash)

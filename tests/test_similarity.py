@@ -310,3 +310,84 @@ def test_tokenizer_java_trim_parity(spark):
     assert got == pytest.approx(expected)
     # sanity: the scalar form itself sees {foo\tbar, baz, qux} vs {foo\tbar, baz}
     assert expected == pytest.approx(2 / 3)
+
+
+# ---------------------------------------------------------------------------
+# Round-5: _exact_rescore JVM dispatch (levenshtein/numeric/date) vs scalars
+# ---------------------------------------------------------------------------
+
+def _rescore_pairs(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long, label_a string, label_b string")
+
+
+@pytest.mark.parametrize(
+    "method,kw,cases",
+    [
+        (
+            "levenshtein", {},
+            [("kitten", "sitting"), ("same", "same"), ("", ""), ("", "abc"),
+             ("a b\tc", "a b c")],
+        ),
+        (
+            "numeric", {"smooth": 0.5, "threshold_distance": 2.0},
+            [("100", "103"), ("5", "5"), ("5.5", "7"), ("", "9"),
+             (" 42 ", "42"), ("007", "7"), ("100^^xsd:int", "103"),
+             ("9999999999", "9999999998")],
+        ),
+        (
+            "date_days", {"smooth": 0.5, "threshold_distance": 3.0},
+            # ('20200101','2020-01-01'): second fails BASIC_ISO parse -> 0.0;
+            # ('20200101','20200101'): string-equal -> 1.0 BEFORE the
+            # distance formula even though distance=3 would score 2^-0.5
+            [("20200101", "20200104"), ("20200101", "20200101"),
+             ("20200101", "2020-01-01"), ("", "20200101"),
+             ("20200301", "20200101"), ("20200101^^xsd:date", "20200401")],
+        ),
+        (
+            "date_months", {"smooth": 0.5, "time": "backwards"},
+            [("20200131", "20200301"), ("20200301", "20200131"),
+             ("20200115", "20200214"), ("20200115", "20200115")],
+        ),
+        (
+            "date_years", {"smooth": 0.5, "time": "forwards"},
+            [("20000601", "20030601"), ("20030601", "20000601"),
+             ("20000601", "20010531")],
+        ),
+    ],
+)
+def test_jvm_rescore_dispatch_matches_scalar(spark, method, kw, cases):
+    """The measured JVM dispatch (graph/canonicalize._jvm_rescore_col) must
+    reproduce the reference scalar clause-for-clause, including string
+    equality before parsing, empty/unparseable -> 0.0, datatype-suffix
+    stripping, and the date direction gates."""
+    from graph_embeddings_spark.graph.canonicalize import _exact_rescore, _jvm_rescore_col
+
+    group = SimilarityGroup("p:x", "p:x", method=method, threshold=0.0, **kw)
+    assert _jvm_rescore_col(group) is not None  # the dispatch actually fires
+    metric = make_metric(
+        method, ngram=group.ngram, smooth=group.smooth,
+        distance=group.threshold_distance, pattern=group.pattern, time=group.time,
+    )
+    labeled = _rescore_pairs(
+        spark, [(i, i + 100, x, y) for i, (x, y) in enumerate(cases)]
+    )
+    scored = _exact_rescore(labeled, group)
+    # dispatched plan is pure JVM: no Arrow/pandas evaluation node
+    assert "ArrowEvalPython" not in scored._jdf.queryExecution().executedPlan().toString()
+    for r in scored.collect():
+        want = metric(r["label_a"], r["label_b"])
+        assert r["sim"] == pytest.approx(want, abs=1e-9), (
+            method, r["label_a"], r["label_b"], r["sim"], want)
+
+
+def test_similarity_pairs_date_group_e2e(spark):
+    """J1 e2e over a date group exercises value-bucket blocking + the JVM
+    date rescore together (the numeric e2e twin exists above)."""
+    labels = ["20200101", "20200104", "20240101", "not-a-date"]
+    nodes = _lit_nodes(spark, labels, pred="p:when")
+    group = SimilarityGroup(
+        "p:when", "p:when", method="date_days", threshold=0.4, smooth=0.5
+    )
+    got = {(r["a"], r["b"]): r["sim"] for r in similarity_pairs(nodes, group).collect()}
+    assert got[(0, 1)] == pytest.approx(4 ** -0.5)  # 3 days -> 4^-0.5 = 0.5
+    assert all(2 not in p and 3 not in p for p in got)
