@@ -642,3 +642,36 @@ def test_hashed_shingles_jaccard_matches_column_form(spark):
                 uh = len(a_hash | b_hash)
                 jac_hash = len(a_hash & b_hash) / uh if uh else 0.0
                 assert jac_col == jac_hash, (k, i, j, jac_col, jac_hash)
+
+
+def test_winnowing_np_kernel_matches_column_form(spark):
+    """The shipping Arrow winnowing kernel must be BYTE-IDENTICAL to the
+    column form (same md5-prefix hash, same window-min total order) —
+    that identity is what keeps the DuckDB oracle valid. Covers: normal
+    docs, shorter-than-one-window, shorter-than-k, empty, whitespace runs,
+    and tie-heavy repeats."""
+    from graph_embeddings_spark.datapipe.textstats import (
+        winnowing_fingerprints_col,
+        winnowing_fingerprints_np,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and keeps running",
+        "tiny",            # < k: no fingerprints
+        "sixchr",          # k-grams exist but < one window: global min only
+        "",
+        "  MIXED   Case\twith\nweird   whitespace  ",
+        "aaaaaaaaaaaaaaaa",  # all identical grams: ties everywhere
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    col_rows = {
+        (r["doc_id"], r["fp"]) for r in winnowing_fingerprints_col(docs, k=5, w=4).collect()
+    }
+    np_rows = {
+        (r["doc_id"], r["fp"]) for r in winnowing_fingerprints_np(docs, k=5, w=4).collect()
+    }
+    assert col_rows == np_rows
+    assert any(d == 2 for d, _ in np_rows)   # single-global-min branch hit
+    assert not any(d in (1, 3) for d, _ in np_rows)
