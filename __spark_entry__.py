@@ -543,7 +543,15 @@ def q_pack_assignments(spark, sf_dir):
     from graph_embeddings_spark.datapipe.pack import pack_assignments
 
     docs = _t(spark, sf_dir, "documents")
-    return pack_assignments(docs, capacity=2048, seed=42)
+    # own the operator's persisted intermediate: materialize the (tiny)
+    # result eagerly, then unpersist — the driver only collects the
+    # returned DF, so there is no post-consumption hook to clean up in
+    registry: list = []
+    out = pack_assignments(docs, capacity=2048, seed=42, cache_registry=registry)
+    out = out.localCheckpoint(eager=True)
+    for df in registry:
+        df.unpersist()
+    return out
 
 
 def q_pii_scrub(spark, sf_dir):

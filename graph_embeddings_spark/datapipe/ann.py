@@ -84,12 +84,16 @@ def cosine_rescore(df: DataFrame, a_col: str, b_col: str, out_col: str = "cos") 
             # NaN (invalid rows, or NULL elements inside an array) -> SQL
             # NULL: Spark sorts NaN ABOVE every double, so a NaN cos would
             # WIN a desc-rank window; the column form returns NULL, which
-            # desc-sorts last and is dropped by threshold filters
-            if np.isfinite(out).all():
+            # desc-sorts last and is dropped by threshold filters. A
+            # genuinely computed +/-inf (an inf embedding element) passes
+            # through — the cosine_col parity oracle returns +/-Infinity
+            # there, and the old isfinite gate silently NULLed it.
+            nan = np.isnan(out)
+            if not nan.any():
                 pdf[out_col] = out  # fast path: one rectangular batch
             else:
                 pdf[out_col] = pd.Series(
-                    [float(v) if np.isfinite(v) else None for v in out],
+                    [None if isnan else float(v) for v, isnan in zip(out, nan)],
                     index=pdf.index, dtype=object,
                 )
             yield pdf[cols]

@@ -66,8 +66,26 @@ def pack_assignments(
     materialized rows pass 1 summed; without it, a nondeterministic
     upstream (rand-derived filters, files changing between construction
     and execution) could hand the two passes different rows and silently
-    corrupt every offset. Callers pass cache_registry to unpersist.
+    corrupt every offset.
+
+    CACHE OWNERSHIP: the persisted relation belongs to the caller — pass
+    cache_registry and unpersist its entries once the result is consumed.
+    cache_registry=None leaves the block pinned until the keyed RDD is
+    garbage-collected (Spark's ContextCleaner), which on a long-lived
+    session with many distinct inputs accumulates executor memory; a
+    RuntimeWarning flags the omission so library callers can't leak
+    silently.
     """
+    if cache_registry is None:
+        import warnings
+
+        warnings.warn(
+            "pack_assignments persists an intermediate relation; pass "
+            "cache_registry and unpersist after consuming the result "
+            "(None leaves cleanup to the ContextCleaner)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))

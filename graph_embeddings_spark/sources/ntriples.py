@@ -133,6 +133,15 @@ _VALID_ESC_RE = r"\\(?:[tbnrf\"'\\]|u[0-9A-Fa-f]{4}|U[0-9A-Fa-f]{8})"
 # 00000000..0010FFFF is exactly "00" + ("0"+hex | "10") + 4 hex.
 _U_OUT_OF_RANGE_RE = r"\\U(?!00(?:0[0-9A-Fa-f]|10)[0-9A-Fa-f]{4})[0-9A-Fa-f]{8}"
 
+# a lone-surrogate UCHAR (U+D800..DFFF, first two hex digits D8..DF):
+# chr() ACCEPTS surrogates but they crash Arrow UTF-8 serialization, so
+# turtle._uchar raises and parse_ntriples drops the row — this disjunct
+# keeps the invariant that every dropped row appears in parse_errors
+_U_SURROGATE_RE = (
+    r"\\u[Dd][89A-Fa-f][0-9A-Fa-f]{2}"
+    r"|\\U0000[Dd][89A-Fa-f][0-9A-Fa-f]{2}"
+)
+
 
 def _lex_of(obj_raw):
     """Literal lexical form: drop the closing quote + @lang/^^<dt> suffix,
@@ -161,8 +170,9 @@ def parse_errors(lines: DataFrame, col: str = "value") -> DataFrame:
             F.regexp_replace(lex, _VALID_ESC_RE, "").contains("\\")
             # escaped-backslash pairs deleted FIRST (left-to-right, the
             # decoder's consumption order) so literal "\\U12345678" text
-            # is not mistaken for an out-of-range UCHAR escape
+            # is not mistaken for an out-of-range or surrogate UCHAR escape
             | F.regexp_replace(lex, r"\\\\", "").rlike(_U_OUT_OF_RANGE_RE)
+            | F.regexp_replace(lex, r"\\\\", "").rlike(_U_SURROGATE_RE)
         )
     )
     ignorable = (F.trim(line) == "") | F.trim(line).startswith("#")

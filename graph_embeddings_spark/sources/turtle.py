@@ -71,6 +71,18 @@ def _hexval(s: str, start: int, width: int) -> int:
     return int(h, 16)
 
 
+def _uchar(cp: int) -> str:
+    """Codepoint -> char, REJECTING lone surrogates: Python's chr() happily
+    builds U+D800..DFFF strings, but they are not valid RDF literal content
+    and crash Arrow's UTF-8 serialization downstream — failing the whole
+    job instead of this row's drop-and-report contract. Raising here routes
+    the row through the same drop path as any other bad escape (and
+    parse_errors reports it via its surrogate disjunct)."""
+    if 0xD800 <= cp <= 0xDFFF:
+        raise TurtleSyntaxError(f"lone surrogate escape U+{cp:04X}")
+    return chr(cp)
+
+
 def _unescape(s: str) -> str:
     out = []
     i, n = 0, len(s)
@@ -84,12 +96,12 @@ def _unescape(s: str) -> str:
             raise TurtleSyntaxError("dangling escape")
         e = s[i + 1]
         if e == "u":
-            out.append(chr(_hexval(s, i + 2, 4)))
+            out.append(_uchar(_hexval(s, i + 2, 4)))
             i += 6
         elif e == "U":
             # chr() raises ValueError past 0x10FFFF; callers treat it the
             # same as TurtleSyntaxError (drop-and-report contract)
-            out.append(chr(_hexval(s, i + 2, 8)))
+            out.append(_uchar(_hexval(s, i + 2, 8)))
             i += 10
         elif e in _UNESCAPES:
             out.append(_UNESCAPES[e])

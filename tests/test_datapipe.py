@@ -540,7 +540,8 @@ def test_pack_assignments_invariants(spark):
 
     rows = [(i, " ".join(["tok"] * (5 + (i * 13) % 90))) for i in range(200)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = pack_assignments(docs, capacity=64, seed=42).collect()
+    registry: list = []
+    out = pack_assignments(docs, capacity=64, seed=42, cache_registry=registry).collect()
     by_off = sorted(out, key=lambda r: r["start_offset"])
     pos = 0
     for r in by_off:
@@ -551,7 +552,9 @@ def test_pack_assignments_invariants(spark):
         pos += r["n_tokens"]
     again = {
         r["doc_id"]: r["start_offset"]
-        for r in pack_assignments(docs.repartition(7), capacity=64, seed=42).collect()
+        for r in pack_assignments(
+            docs.repartition(7), capacity=64, seed=42, cache_registry=registry
+        ).collect()
     }
     assert again == {r["doc_id"]: r["start_offset"] for r in out}
     # the two-pass prefix sum must be invariant to its OWN bucket count
@@ -561,10 +564,20 @@ def test_pack_assignments_invariants(spark):
         got = {
             r["doc_id"]: tuple(r)
             for r in pack_assignments(
-                docs, capacity=64, seed=42, num_partitions=n_parts
+                docs, capacity=64, seed=42, num_partitions=n_parts,
+                cache_registry=registry,
             ).collect()
         }
         assert got == base, f"num_partitions={n_parts} changed the assignment"
+    for df in registry:
+        df.unpersist()
+    # omitting the registry is a flagged contract violation, not a silence
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        pack_assignments(docs, capacity=64, seed=42).collect()
+    assert any(issubclass(c.category, RuntimeWarning) for c in caught)
 
 
 def test_unit_hash_survives_huge_ids(spark):

@@ -114,15 +114,23 @@ def test_bad_escape_rows_show_in_parse_errors(spark):
         # ESCAPED BACKSLASH followed by literal U12345678: decodes to
         # literal text — must not be mistaken for an out-of-range UCHAR
         '<http://ex/n> <http://ex/p> "ok \\\\U12345678" .',
+        # LONE SURROGATES (chr() accepts them; Arrow UTF-8 serialization
+        # does not): _uchar raises, the rows drop, and the surrogate
+        # disjunct must report them — in both \\u and \\U spellings
+        '<http://ex/o> <http://ex/p> "bad\\uD800 surrogate" .',
+        '<http://ex/q> <http://ex/p> "bad\\U0000DFFF surrogate" .',
+        # escaped backslash + literal uD800 text: NOT a surrogate escape
+        '<http://ex/r> <http://ex/p> "ok \\\\uD800" .',
     ]
     df = spark.createDataFrame([(l,) for l in lines], "value string")
     errs = [r["value"] for r in parse_errors(df).collect()]
-    assert len(errs) == 4 and all("bad" in e for e in errs)
+    assert len(errs) == 6 and all("bad" in e for e in errs)
     got = {r["subj"]: r["obj"] for r in parse_ntriples(df).collect()}
     assert set(got) == {"http://ex/g", "http://ex/h", "http://ex/j",
-                        "http://ex/m", "http://ex/n"}
+                        "http://ex/m", "http://ex/n", "http://ex/r"}
     assert got["http://ex/m"] == "ok \U0001F600"
     assert got["http://ex/n"] == "ok \\U12345678"
+    assert got["http://ex/r"] == "ok \\uD800"
     # disjointness: no line appears in both the triples and error outputs
     emitted_lines = {l for l in lines if any(l.startswith(f"<{s}>") for s in got)}
     assert not set(errs) & emitted_lines

@@ -213,9 +213,10 @@ def main():
         "A plain codegen filter over the id-hash — ZERO exchanges; pushes "
         "through/below any downstream operator like any other predicate.",
     )
+    _pack_registry: list = []
     add(
         "Sequence packing (concat-and-chunk assignment)",
-        pack_assignments(docs, capacity=2048),
+        pack_assignments(docs, capacity=2048, cache_registry=_pack_registry),
         "TWO-PASS distributed prefix sum: per-bucket token totals -> "
         "driver cumsum of P partials -> broadcast offsets -> per-bucket "
         "parallel window. No single global sort anywhere in the plan; all "
