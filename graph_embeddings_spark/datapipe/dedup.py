@@ -65,20 +65,6 @@ def char_ngrams_distinct(c, k: int = 3):
     return F.array_distinct(arr)
 
 
-def char_ngram_hashes_distinct(c, k: int = 3):
-    """Distinct xxhash64'd char k-grams — the hash is folded INTO the
-    shingle transform so only one higher-order-function pass runs (HOFs are
-    interpreted, not codegen'd; a separate hash pass doubles that cost), and
-    the distinct runs on primitive longs."""
-    s = norm_text_col(c)
-    n = F.length(s) - (k - 1)
-    idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
-    arr = F.when(
-        n >= 1, F.transform(idx, lambda i: F.xxhash64(F.substr(s, i, F.lit(k))))
-    ).otherwise(F.array().cast("array<long>"))
-    return F.array_distinct(arr)
-
-
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.8, k: int = 3, max_df: int | None = None
 ) -> DataFrame:
