@@ -240,7 +240,7 @@ def minhash_lsh_dedup(
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     # shingles are hashed to 64-bit longs up front (hashed_shingles: exact
     # — injective code + bijective finalizer), so every downstream op
-    # (min-agg signatures, array_intersect rescore) runs on primitive
+    # (min-agg signatures, merge-intersect rescore) runs on primitive
     # longs. The relation is persisted — three consumers (signatures,
     # rescore a-side, rescore b-side) would otherwise each re-run the
     # shingler; at 8 B/shingle it is ~2.5 KB/doc, MEMORY_AND_DISK-safe at

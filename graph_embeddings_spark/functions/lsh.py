@@ -30,7 +30,11 @@ from pyspark.sql.window import Window
 
 
 def char_shingles_col(c, k: int = 3):
-    """Distinct char k-shingles via sequence+transform (no UDF)."""
+    """Distinct char k-shingles via sequence+transform (no Python UDF, but
+    the transform lambda runs INTERPRETED — ~16 µs/element measured).
+    ORACLE/BOUNDED PATHS ONLY: X7/X8 column metrics over candidate pairs
+    and parity tests; corpus-scale candidate generation uses the numpy
+    kernel (datapipe.dedup.hashed_shingles, 11.9x on 500-char strings)."""
     s = F.regexp_replace(c, r"\s+", " ")
     n = F.length(s) - (k - 1)
     idx = F.sequence(F.lit(1), F.greatest(n, F.lit(0)))
