@@ -132,8 +132,12 @@ def _shingle_hashes_np(text: str, k: int):
 
     global _WS_RE
     if _WS_RE is None:
-        _WS_RE = _re.compile(r"\s+")
-    s = _WS_RE.sub(" ", text).strip().lower()
+        # Java's \s (ASCII-only: [ \t\n\x0b\f\r]) — Python's \s and bare
+        # str.strip() additionally treat \x1c-\x1f as whitespace, which
+        # broke byte-parity with norm_text_col on control-char text
+        # (hypothesis-found); space-only strip mirrors F.trim exactly
+        _WS_RE = _re.compile(r"[ \t\n\x0b\f\r]+")
+    s = _WS_RE.sub(" ", text).strip(" ").lower()
     b = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
     if len(b) < k:
         return np.empty(0, dtype=np.int64)

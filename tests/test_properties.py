@@ -151,3 +151,60 @@ def test_ntriples_errors_and_triples_partition_the_input(spark, specs):
             assert in_triples, line
         if kind == "garbage":
             assert in_errors, line
+
+
+_doc_text = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="\r"),
+    min_size=0, max_size=120,
+)
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=1, max_size=25))
+def test_winnowing_np_col_parity_property(spark, texts):
+    """Round-5 kernel swap invariant: the Arrow winnowing kernel is
+    byte-identical to the column form on ARBITRARY ascii text (whitespace
+    runs, punctuation, empty/short strings, md5-prefix ties) — the identity
+    that keeps the DuckDB oracle valid."""
+    from graph_embeddings_spark.datapipe.textstats import (
+        winnowing_fingerprints_col,
+        winnowing_fingerprints_np,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    col_rows = {(r["doc_id"], r["fp"]) for r in winnowing_fingerprints_col(docs).collect()}
+    np_rows = {(r["doc_id"], r["fp"]) for r in winnowing_fingerprints_np(docs).collect()}
+    assert col_rows == np_rows
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=2, max_size=15), st.sampled_from([3, 5, 8]))
+def test_hashed_shingle_jaccard_parity_property(spark, texts, k):
+    """Round-5 kernel swap invariant: jaccard over numpy-hashed byte
+    k-grams equals jaccard over the column form's char k-grams for any
+    ascii text and any k <= 8 (the hash is a bijection of the gram)."""
+    from pyspark.sql import functions as F2
+
+    from graph_embeddings_spark.datapipe.dedup import char_ngrams_distinct, hashed_shingles
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    col_sets = {
+        r["doc_id"]: frozenset(r["sh"])
+        for r in docs.select("doc_id", char_ngrams_distinct(F2.col("text"), k).alias("sh")).collect()
+    }
+    hash_sets = {r["id"]: frozenset(r["_sh"]) for r in hashed_shingles(docs, k, 2).collect()}
+
+    def jac(sets, i, j):
+        u = sets[i] | sets[j]
+        return len(sets[i] & sets[j]) / len(u) if u else 0.0
+
+    ids = sorted(col_sets)
+    for i in ids:
+        assert len(col_sets[i]) == len(hash_sets[i])
+        for j in ids:
+            if i < j:
+                assert jac(col_sets, i, j) == jac(hash_sets, i, j)
