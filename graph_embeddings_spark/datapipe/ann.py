@@ -81,13 +81,15 @@ def cosine_rescore(df: DataFrame, a_col: str, b_col: str, out_col: str = "cos") 
                 na = np.linalg.norm(a, axis=1)
                 nb = np.linalg.norm(b, axis=1)
                 out[m] = dots / (na * nb + 1e-12)
-            # NaN (invalid rows, or NULL elements inside an array) -> SQL
-            # NULL: Spark sorts NaN ABOVE every double, so a NaN cos would
-            # WIN a desc-rank window; the column form returns NULL, which
-            # desc-sorts last and is dropped by threshold filters. A
-            # genuinely computed +/-inf (an inf embedding element) passes
-            # through — the cosine_col parity oracle returns +/-Infinity
-            # there, and the old isfinite gate silently NULLed it.
+            # NaN (invalid rows, NULL elements, or non-finite input
+            # elements — an inf element makes dot AND norm infinite, so
+            # the cosine is inf/inf = NaN in this kernel and in
+            # cosine_col's float math alike) -> SQL NULL: Spark sorts NaN
+            # ABOVE every double, so a NaN cos would WIN a desc-rank
+            # window. The gate is exactly np.isnan, not isfinite: a
+            # +/-inf cosine VALUE is unreachable (the +1e-12 denominator
+            # guard bounds every finite dot), so isnan states the intent
+            # precisely instead of silently widening it.
             nan = np.isnan(out)
             if not nan.any():
                 pdf[out_col] = out  # fast path: one rectangular batch

@@ -128,6 +128,31 @@ def test_cosine_rescore_null_and_ragged_rows(spark):
     assert got[1] is None and got[2] is None and got[3] is None
 
 
+def test_cosine_rescore_nonfinite_inputs(spark):
+    """Non-finite embedding elements: an inf element makes dot AND norm
+    infinite, so the cosine is inf/inf = NaN in BOTH the kernel and the
+    cosine_col float math — and the kernel maps exactly NaN to NULL (r4
+    advisory: the gate is np.isnan, not isfinite; a +/-inf cosine VALUE is
+    unreachable because the +1e-12 denominator guard bounds every finite
+    dot). Sane rows in the same Arrow batch must be unaffected."""
+    import math
+
+    from graph_embeddings_spark.datapipe.ann import cosine_rescore
+
+    inf = float("inf")
+    rows = [
+        (0, [inf, 0.0], [1.0, 0.0]),          # inf/inf = NaN -> NULL
+        (1, [-inf, 0.0], [1.0, 0.0]),         # -inf/inf = NaN -> NULL
+        (2, [float("nan"), 0.0], [1.0, 0.0]),  # NaN element -> NULL
+        (3, [1.0, 0.0], [1.0, 0.0]),          # sane row in the same batch
+    ]
+    df = spark.createDataFrame(rows, "id long, va array<float>, vb array<float>")
+    got = {r["id"]: r["cos"] for r in cosine_rescore(df, "va", "vb").collect()}
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert abs(got[3] - 1.0) < 1e-9
+    assert not any(v is not None and math.isnan(v) for v in got.values())
+
+
 def test_cosine_dedup_lsh_recall_vs_brute(spark):
     """The sign-band scale path must recover (nearly) every brute pair:
     clustered vectors (5 clusters x 4 near-identical members) make the true
