@@ -208,3 +208,91 @@ def test_hashed_shingle_jaccard_parity_property(spark, texts, k):
         for j in ids:
             if i < j:
                 assert jac(col_sets, i, j) == jac(hash_sets, i, j)
+
+
+@_slow
+@given(st.lists(_doc_text, min_size=1, max_size=15))
+def test_simhash_np_col_parity_property(spark, texts):
+    """simhash_df must stay byte-identical to the interpreted column form
+    on ARBITRARY ascii text, including the control chars (\\x1c-\\x1f)
+    that Python treats as whitespace but Java's \\s does not — the class
+    of divergence hypothesis found in the shingle kernel."""
+    from pyspark.sql import functions as F2
+
+    from graph_embeddings_spark.datapipe.dedup import simhash_col, simhash_df
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    ref = {
+        r["doc_id"]: r["sim"]
+        for r in docs.select("doc_id", simhash_col(F2.col("text")).alias("sim")).collect()
+    }
+    got = {r["id"]: r["sim"] for r in simhash_df(docs).collect()}
+    assert got == ref
+
+
+_num_label = st.one_of(
+    st.integers(min_value=-10**12, max_value=10**12).map(str),
+    st.integers(min_value=0, max_value=9999).map(lambda v: f"{v}^^xsd:int"),
+    st.sampled_from(["", "5.5", "abc", " 42 ", "007", "1e3", "-0"]),
+    _doc_text,
+)
+
+
+@_slow
+@given(st.lists(st.tuples(_num_label, _num_label), min_size=1, max_size=40))
+def test_numeric_rescore_dispatch_parity_property(spark, pairs):
+    """The codegen numeric rescore must equal the reference scalar on
+    arbitrary label strings (garbage, datatype suffixes, whitespace,
+    decimals, huge ints) — the J1 dispatch's standing parity contract."""
+    from graph_embeddings_spark.config import SimilarityGroup
+    from graph_embeddings_spark.functions.similarity import make_metric
+    from graph_embeddings_spark.graph.canonicalize import _exact_rescore
+
+    group = SimilarityGroup("p:x", "p:x", method="numeric", threshold=0.0,
+                            smooth=0.5, threshold_distance=1.0)
+    metric = make_metric("numeric", smooth=0.5, distance=1.0)
+    labeled = spark.createDataFrame(
+        [(i, i, a, b) for i, (a, b) in enumerate(pairs)],
+        "a long, b long, label_a string, label_b string",
+    )
+    for r in _exact_rescore(labeled, group).collect():
+        want = metric(r["label_a"], r["label_b"])
+        assert abs(r["sim"] - want) < 1e-9, (r["label_a"], r["label_b"], r["sim"], want)
+
+
+_date_label = st.one_of(
+    st.integers(min_value=10000101, max_value=99991231).map(str),  # mostly-valid + impossible dates
+    st.integers(min_value=10000101, max_value=99991231).map(lambda v: f"{v}^^xsd:date"),
+    st.sampled_from(["", "2020-01-01", "20200230", "00000000", "abc"]),
+)
+
+
+@_slow
+@given(
+    st.lists(st.tuples(_date_label, _date_label), min_size=1, max_size=40),
+    st.sampled_from(["date_days", "date_months", "date_years"]),
+    st.sampled_from(["bidirectional", "backwards", "forwards"]),
+)
+def test_date_rescore_dispatch_parity_property(spark, pairs, method, direction):
+    """The codegen date rescore must equal the reference scalar on
+    arbitrary label strings: impossible calendar dates (20200230 -> parse
+    failure -> 0.0 on both sides), datatype suffixes, wrong formats, the
+    string-equality-before-parse rule, and every direction gate x unit."""
+    from graph_embeddings_spark.config import SimilarityGroup
+    from graph_embeddings_spark.functions.similarity import make_metric
+    from graph_embeddings_spark.graph.canonicalize import _exact_rescore
+
+    group = SimilarityGroup("p:x", "p:x", method=method, threshold=0.0,
+                            smooth=0.5, threshold_distance=2.0, time=direction)
+    metric = make_metric(method, smooth=0.5, distance=2.0,
+                         pattern="iso", time=direction)
+    labeled = spark.createDataFrame(
+        [(i, i, a, b) for i, (a, b) in enumerate(pairs)],
+        "a long, b long, label_a string, label_b string",
+    )
+    for r in _exact_rescore(labeled, group).collect():
+        want = metric(r["label_a"], r["label_b"])
+        assert abs(r["sim"] - want) < 1e-9, (
+            method, direction, r["label_a"], r["label_b"], r["sim"], want)
