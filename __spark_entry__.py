@@ -642,6 +642,19 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _owned(build):
+    """Run an operator that persists intermediates (cache_registry
+    contract), eagerly materialize its (small) result, and release the
+    caches — the driver executes all 50 queries in ONE session, so
+    leaving each LSH query's persisted relations pinned would accumulate
+    executor memory across the run with no owner to clean up."""
+    registry: list = []
+    out = build(registry).localCheckpoint(eager=True)
+    for df in registry:
+        df.unpersist()
+    return out
+
+
 def q_dedup_minhash_lsh(spark, sf_dir, n_docs: int = 400):
     from graph_embeddings_spark.datapipe.dedup import minhash_lsh_dedup
 
@@ -651,8 +664,10 @@ def q_dedup_minhash_lsh(spark, sf_dir, n_docs: int = 400):
     # check-shaped probe (driver correctness budget); bench.py passes
     # n_docs=1000 to keep its headline comparable with earlier rounds.
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < n_docs)
-    return minhash_lsh_dedup(docs, threshold=0.8).select(
-        "a", "b", F.round("jac", 6).alias("jac")
+    return _owned(
+        lambda reg: minhash_lsh_dedup(docs, threshold=0.8, cache_registry=reg).select(
+            "a", "b", F.round("jac", 6).alias("jac")
+        )
     )
 
 
@@ -660,7 +675,7 @@ def q_dedup_simhash(spark, sf_dir):
     from graph_embeddings_spark.datapipe.dedup import simhash_dedup
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return simhash_dedup(docs, max_hamming=3)
+    return _owned(lambda reg: simhash_dedup(docs, max_hamming=3, cache_registry=reg))
 
 
 def q_dedup_embedding_cosine(spark, sf_dir):
@@ -683,8 +698,10 @@ def q_dedup_embedding_cosine_lsh(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").head()["embedding"])
-    return cosine_dedup_pairs(emb, threshold=0.4, strategy="lsh", dim=dim).select(
-        "a", "b", F.round("cos", 5).alias("cos")
+    return _owned(
+        lambda reg: cosine_dedup_pairs(
+            emb, threshold=0.4, strategy="lsh", dim=dim, cache_registry=reg
+        ).select("a", "b", F.round("cos", 5).alias("cos"))
     )
 
 
